@@ -1,0 +1,321 @@
+"""Typed configuration schema.
+
+The reference threads a raw ``yaml.safe_load`` dict with ``.get()`` defaults
+everywhere (reference: training/train.py:40-44, models/model.py:39-123). Here
+the same YAML section layout (model / pretrained / data / training / losses /
+hardware) is parsed once into frozen dataclasses so every downstream module
+gets typed, validated values; unknown keys are preserved in ``extra`` for
+forward compatibility. Flat (non-nested) dicts are accepted like the
+reference does (models/model.py:86).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import yaml
+
+_PRESET_DIR = os.path.join(os.path.dirname(__file__), "presets")
+
+
+def preset_path(name: str) -> str:
+    """Path to a bundled preset YAML (without or with .yaml suffix)."""
+    if not name.endswith(".yaml"):
+        name = name + ".yaml"
+    return os.path.join(_PRESET_DIR, name)
+
+
+def _pick(d: Dict[str, Any], *keys, default=None):
+    for k in keys:
+        if k in d and d[k] is not None:
+            return d[k]
+    return default
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Model section (reference: config/slice_interpolation_full_medium.yaml:7-25)."""
+
+    in_channels: int = 1
+    latent_dim: int = 8
+    vae_base_channels: int = 128
+    vae_scaling_factor: float = 1.0
+    # Number of 2x spatial down stages in the VAE. The reference code uses 2
+    # (4x total; models/vae.py:113-124) while its docs claim 3 (8x) — we build
+    # to the code and make the disputed knob configurable (SURVEY.md §2.7).
+    vae_num_down_stages: int = 2
+    unet_model_channels: int = 128
+    unet_num_res_blocks: int = 2
+    unet_attention_levels: Tuple[int, ...] = (1, 2)
+    unet_channel_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    unet_num_heads: int = 8
+    unet_time_embed_dim: int = 1024
+    noise_schedule: str = "cosine"
+    diffusion_timesteps: int = 1000
+    beta_start: float = 0.0001
+    beta_end: float = 0.02
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "ModelConfig":
+        return ModelConfig(
+            in_channels=int(_pick(d, "in_channels", default=1)),
+            latent_dim=int(_pick(d, "latent_dim", default=8)),
+            vae_base_channels=int(_pick(d, "vae_base_channels", default=128)),
+            vae_scaling_factor=float(_pick(d, "vae_scaling_factor", default=1.0)),
+            vae_num_down_stages=int(_pick(d, "vae_num_down_stages", default=2)),
+            unet_model_channels=int(_pick(d, "unet_model_channels", default=128)),
+            unet_num_res_blocks=int(_pick(d, "unet_num_res_blocks", default=2)),
+            unet_attention_levels=tuple(_pick(d, "unet_attention_levels", default=(1, 2))),
+            unet_channel_mult=tuple(_pick(d, "unet_channel_mult", default=(1, 2, 4, 4))),
+            unet_num_heads=int(_pick(d, "unet_num_heads", default=8)),
+            unet_time_embed_dim=int(_pick(d, "unet_time_embed_dim", default=1024)),
+            noise_schedule=str(_pick(d, "noise_schedule", default="cosine")),
+            diffusion_timesteps=int(_pick(d, "diffusion_timesteps", default=1000)),
+            beta_start=float(_pick(d, "beta_start", default=0.0001)),
+            beta_end=float(_pick(d, "beta_end", default=0.02)),
+        )
+
+
+@dataclass(frozen=True)
+class PretrainedConfig:
+    """Pretrained/freezing section (reference config:28-45)."""
+
+    use_pretrained: bool = False
+    vae_enabled: bool = False
+    vae_checkpoint_path: Optional[str] = None
+    freeze_epochs: int = 0
+    two_phase_training: bool = False
+    phase1_epochs: int = 0
+    # layer-wise LR multipliers (reference: training/train.py:166-218)
+    lr_mult_vae_encoder: float = 0.0
+    lr_mult_vae_decoder: float = 0.0
+    lr_mult_unet: float = 1.0
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "PretrainedConfig":
+        vae = d.get("vae", {}) or {}
+        mults = d.get("layer_lr_multipliers", {}) or {}
+        return PretrainedConfig(
+            use_pretrained=bool(_pick(d, "use_pretrained", default=False)),
+            vae_enabled=bool(_pick(vae, "enabled", default=False)),
+            vae_checkpoint_path=_pick(vae, "checkpoint_path"),
+            freeze_epochs=int(_pick(vae, "freeze_epochs", default=0)),
+            two_phase_training=bool(_pick(d, "two_phase_training", default=False)),
+            phase1_epochs=int(_pick(d, "phase1_epochs", default=0)),
+            lr_mult_vae_encoder=float(_pick(mults, "vae_encoder", default=0.0)),
+            lr_mult_vae_decoder=float(_pick(mults, "vae_decoder", default=0.0)),
+            lr_mult_unet=float(_pick(mults, "unet", default=1.0)),
+        )
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Data section (reference config:48-89)."""
+
+    data_source: str = "slice_interpolation"
+    dataset_path: Optional[str] = None
+    extract_dir: Optional[str] = None
+    processed_dir: Optional[str] = None
+    categories: Tuple[str, ...] = ("APE", "non-APE")
+    use_patches: bool = True
+    patch_depth_thin: int = 48
+    patch_depth_thick: int = 8
+    patch_size: Tuple[int, int] = (192, 192)
+    augment: bool = True
+    window_center: float = 40.0
+    window_width: float = 400.0
+    val_split: float = 0.15
+    test_split: float = 0.10
+    seed: int = 42
+    batch_size: int = 8
+    num_workers: int = 0
+    drop_last: bool = True
+    max_train_samples: Optional[int] = None
+    target_size: Tuple[int, int] = (512, 512)
+    # synthetic data (framework addition: lets every pipeline stage run
+    # without the 50 GB APE download; tests and benchmarks use it)
+    synthetic_num_patients: int = 0
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "DataConfig":
+        return DataConfig(
+            data_source=str(_pick(d, "data_source", default="slice_interpolation")),
+            dataset_path=_pick(d, "dataset_path"),
+            extract_dir=_pick(d, "extract_dir"),
+            processed_dir=_pick(d, "processed_dir"),
+            categories=tuple(_pick(d, "categories", default=("APE", "non-APE"))),
+            use_patches=bool(_pick(d, "use_patches", default=True)),
+            patch_depth_thin=int(_pick(d, "patch_depth_thin", default=48)),
+            patch_depth_thick=int(_pick(d, "patch_depth_thick", default=8)),
+            patch_size=tuple(_pick(d, "patch_size", default=(192, 192))),
+            augment=bool(_pick(d, "augment", default=True)),
+            window_center=float(_pick(d, "window_center", default=40.0)),
+            window_width=float(_pick(d, "window_width", default=400.0)),
+            val_split=float(_pick(d, "val_split", default=0.15)),
+            test_split=float(_pick(d, "test_split", default=0.10)),
+            seed=int(_pick(d, "seed", default=42)),
+            batch_size=int(_pick(d, "batch_size", default=8)),
+            num_workers=int(_pick(d, "num_workers", default=0)),
+            drop_last=bool(_pick(d, "drop_last", default=True)),
+            max_train_samples=_pick(d, "max_train_samples"),
+            target_size=tuple(_pick(d, "target_size", default=(512, 512))),
+            synthetic_num_patients=int(_pick(d, "synthetic_num_patients", default=0)),
+        )
+
+
+@dataclass(frozen=True)
+class TrainingConfig:
+    """Training section (reference config:92-145)."""
+
+    num_epochs: int = 300
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.01
+    model_suffix: str = ""
+    optimizer: str = "adamw"
+    gradient_accumulation_steps: int = 1
+    max_grad_norm: float = 1.0
+    mixed_precision: bool = True
+    precision: str = "bf16"
+    min_lr: float = 1e-6
+    scheduler: str = "cosine"
+    warmup_epochs: int = 0
+    val_interval: int = 1000
+    patch_val_interval: int = 5
+    patch_val_samples: int = 10
+    patch_val_generate: bool = False
+    full_val_interval: int = 10000
+    full_val_samples: int = 1
+    final_val_enabled: bool = True
+    final_val_full_volumes: bool = False
+    log_interval: int = 100
+    output_dir: str = "outputs"
+    log_dir: str = "logs"
+    checkpoint_dir: str = "checkpoints"
+    experiment_name: str = "experiment"
+    keep_last_n_checkpoints: int = 3
+    # VAE-trainer specific (reference: training/train_vae.py)
+    thick_slice_ratio: float = 0.2
+    use_lpips: bool = False
+    lpips_weight: float = 0.0
+    use_ssim_loss: bool = False
+    ssim_loss_weight: float = 0.0
+    aux_loss_every_n_steps: int = 1
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "TrainingConfig":
+        kw = {}
+        for f in dataclasses.fields(TrainingConfig):
+            if f.name in d and d[f.name] is not None:
+                kw[f.name] = d[f.name]
+        return TrainingConfig(**kw)
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Loss section (reference config:148-161)."""
+
+    use_diffusion_loss: bool = True
+    use_perceptual_loss: bool = False
+    lambda_perceptual: float = 0.0
+    perceptual_every_n_steps: int = 10
+    use_ms_ssim_loss: bool = False
+    lambda_ssim: float = 0.0
+    ssim_every_n_steps: int = 10
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "LossConfig":
+        kw = {}
+        for f in dataclasses.fields(LossConfig):
+            if f.name in d and d[f.name] is not None:
+                kw[f.name] = d[f.name]
+        return LossConfig(**kw)
+
+
+@dataclass(frozen=True)
+class HardwareConfig:
+    """Hardware section (reference config:164-170), reinterpreted for TPU."""
+
+    device: str = "tpu"
+    num_devices: int = 0  # 0 = use all visible
+    distributed: bool = True
+    gradient_checkpointing: bool = True
+    mesh_data_axis: int = 0  # 0 = infer
+    mesh_tensor_axis: int = 1
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "HardwareConfig":
+        return HardwareConfig(
+            device=str(_pick(d, "device", default="tpu")),
+            num_devices=int(_pick(d, "num_devices", "num_gpus", default=0)),
+            distributed=bool(_pick(d, "distributed", default=True)),
+            gradient_checkpointing=bool(_pick(d, "gradient_checkpointing", default=True)),
+            mesh_data_axis=int(_pick(d, "mesh_data_axis", default=0)),
+            mesh_tensor_axis=int(_pick(d, "mesh_tensor_axis", default=1)),
+        )
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    pretrained: PretrainedConfig = field(default_factory=PretrainedConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    losses: LossConfig = field(default_factory=LossConfig)
+    hardware: HardwareConfig = field(default_factory=HardwareConfig)
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+    @staticmethod
+    def from_dict(raw: Dict[str, Any]) -> "Config":
+        raw = dict(raw or {})
+        sections = {"model", "pretrained", "data", "training", "losses", "hardware"}
+        # Flat-dict compatibility: the reference's model layer accepts config
+        # dicts without a nested `model:` key (models/model.py:86). Route any
+        # top-level model keys into the model section.
+        model_d = dict(raw.get("model", {}) or {})
+        flat_model_keys = {f.name for f in dataclasses.fields(ModelConfig)}
+        for k, v in raw.items():
+            if k in flat_model_keys and k not in model_d:
+                model_d[k] = v
+        return Config(
+            model=ModelConfig.from_dict(model_d),
+            pretrained=PretrainedConfig.from_dict(raw.get("pretrained", {}) or {}),
+            data=DataConfig.from_dict(raw.get("data", {}) or {}),
+            training=TrainingConfig.from_dict(raw.get("training", {}) or {}),
+            losses=LossConfig.from_dict(raw.get("losses", {}) or {}),
+            hardware=HardwareConfig.from_dict(raw.get("hardware", {}) or {}),
+            extra={k: v for k, v in raw.items() if k not in sections and k not in flat_model_keys},
+        )
+
+    def to_dict(self) -> Dict[str, Any]:
+        out = {}
+        for name in ("model", "pretrained", "data", "training", "losses", "hardware"):
+            out[name] = dataclasses.asdict(getattr(self, name))
+        out.update(self.extra)
+        return out
+
+    def replace(self, **sections) -> "Config":
+        return dataclasses.replace(self, **sections)
+
+
+def load_config(path_or_dict) -> Config:
+    """Load a YAML config file (or pass a dict through) into a `Config`.
+
+    Mirrors the reference's loader behavior (training/train.py:40-44) with a
+    typed result. A bare preset name like "tiny_test" resolves against the
+    bundled presets directory.
+    """
+    if isinstance(path_or_dict, Config):
+        return path_or_dict
+    if isinstance(path_or_dict, dict):
+        return Config.from_dict(path_or_dict)
+    path = str(path_or_dict)
+    if not os.path.exists(path):
+        candidate = preset_path(path)
+        if os.path.exists(candidate):
+            path = candidate
+    with open(path, "r") as f:
+        raw = yaml.safe_load(f)
+    return Config.from_dict(raw or {})

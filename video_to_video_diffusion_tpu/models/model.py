@@ -1,0 +1,223 @@
+"""Composite video-to-video latent diffusion model.
+
+Functional rebuild of the reference `VideoToVideoDiffusion` torch module
+(models/model.py:15-420). Because JAX separates code from state, this class
+holds the *modules* (Flax defs) and the *schedule*, while parameters travel
+as an explicit pytree {'vae': ..., 'unet': ...}. All methods are pure and
+jittable given (params, inputs, key).
+
+Training forward (reference model.py:158-228): VAE-encode both volumes with
+stop_gradient (the reference encodes under no_grad), trilinearly upsample the
+conditioning latent when depths differ (full-volume mode), then the
+Min-SNR-weighted epsilon-MSE diffusion loss.
+
+Generation (reference model.py:230-343): encode conditioning in f32, optional
+depth upsample to `target_depth`, DDIM/DDPM latent sampling, VAE decode —
+with nan_to_num scrubbing at stage boundaries like the reference's NaN
+checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from video_to_video_diffusion_tpu.config import Config, load_config
+from video_to_video_diffusion_tpu.models.diffusion import (
+    DiffusionSchedule,
+    diffusion_training_loss,
+    make_schedule,
+    q_sample,
+    sample_timesteps,
+)
+from video_to_video_diffusion_tpu.models.unet3d import UNet3D
+from video_to_video_diffusion_tpu.models.vae import SliceInterpolationVAE
+from video_to_video_diffusion_tpu.ops.precision import Policy
+from video_to_video_diffusion_tpu.ops.resize import resize_nearest, resize_trilinear
+
+
+class VideoToVideoDiffusion:
+    """VAE + UNet + diffusion process wired per the reference composite."""
+
+    def __init__(self, config, policy: Optional[Policy] = None):
+        self.config: Config = load_config(config)
+        m = self.config.model
+        self.policy = policy or Policy.from_precision(
+            self.config.training.precision
+            if self.config.training.mixed_precision
+            else "f32"
+        )
+        use_ckpt = self.config.hardware.gradient_checkpointing
+
+        def _make(dtype):
+            vae = SliceInterpolationVAE(
+                in_channels=m.in_channels,
+                latent_dim=m.latent_dim,
+                base_channels=m.vae_base_channels,
+                scaling_factor=m.vae_scaling_factor,
+                num_down_stages=m.vae_num_down_stages,
+                dtype=dtype,
+            )
+            unet = UNet3D(
+                latent_dim=m.latent_dim,
+                model_channels=m.unet_model_channels,
+                num_res_blocks=m.unet_num_res_blocks,
+                attention_levels=tuple(m.unet_attention_levels),
+                channel_mult=tuple(m.unet_channel_mult),
+                num_heads=m.unet_num_heads,
+                time_embed_dim=m.unet_time_embed_dim,
+                use_checkpoint=use_ckpt,
+                dtype=dtype,
+            )
+            return vae, unet
+
+        # Training modules run at the policy compute dtype; inference modules
+        # are pinned to f32 (the reference forces FP32 generation for
+        # numerical stability, model.py:254-269).
+        self.vae, self.unet = _make(self.policy.compute_dtype)
+        self.vae_f32, self.unet_f32 = _make(jnp.float32)
+        self.schedule: DiffusionSchedule = make_schedule(
+            m.noise_schedule, m.diffusion_timesteps, m.beta_start, m.beta_end
+        )
+        self.latent_dim = m.latent_dim
+        self.spatial_factor = 2 ** m.vae_num_down_stages
+
+    # ------------------------------------------------------------------ init
+    def init(
+        self,
+        key: jax.Array,
+        patch_shape: Tuple[int, int, int] = (8, 192, 192),
+        batch: int = 1,
+    ) -> Dict[str, Any]:
+        """Initialize {'vae', 'unet'} params with dummy NDHWC inputs."""
+        D, H, W = patch_shape
+        kv, ku = jax.random.split(key)
+        x = jnp.zeros((batch, D, H, W, self.config.model.in_channels), jnp.float32)
+        vae_params = self.vae_f32.init(kv, x)["params"]
+        f = self.spatial_factor
+        z = jnp.zeros((batch, D, H // f, W // f, self.latent_dim), jnp.float32)
+        t = jnp.zeros((batch,), jnp.int32)
+        unet_params = self.unet_f32.init(ku, z, t, z)["params"]
+        return {"vae": vae_params, "unet": unet_params}
+
+    # ------------------------------------------------------------- sub-calls
+    def encode(self, params, x, f32: bool = False):
+        mod = self.vae_f32 if f32 else self.vae
+        return mod.apply({"params": params["vae"]}, x, method=mod.encode)
+
+    def decode(self, params, z, f32: bool = False):
+        mod = self.vae_f32 if f32 else self.vae
+        return mod.apply({"params": params["vae"]}, z, method=mod.decode)
+
+    def apply_unet(self, params, z_t, t, c, f32: bool = False):
+        mod = self.unet_f32 if f32 else self.unet
+        return mod.apply({"params": params["unet"]}, z_t, t, c)
+
+    def vae_reconstruct(self, params, x, f32: bool = False):
+        mod = self.vae_f32 if f32 else self.vae
+        return mod.apply({"params": params["vae"]}, x)
+
+    # ------------------------------------------------------------- training
+    def loss_fn(
+        self,
+        params,
+        v_in: jnp.ndarray,
+        v_gt: jnp.ndarray,
+        key: jax.Array,
+        mask: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, dict]:
+        """Diffusion training loss (reference model.py:158-228).
+
+        Args:
+          v_in: conditioning (thick) volume (B, D_in, H, W, C) in [-1, 1].
+          v_gt: target (thin) volume (B, D_gt, H, W, C) in [-1, 1].
+          mask: optional (B, D_gt) depth validity mask (full-volume mode).
+        """
+        z_in = jax.lax.stop_gradient(self.encode(params, v_in))
+        z_gt = jax.lax.stop_gradient(self.encode(params, v_gt))
+
+        if z_in.shape[1] != z_gt.shape[1]:
+            # full-volume mode: align conditioning depth (model.py:185-205)
+            z_in = resize_trilinear(z_in, z_gt.shape[1:4])
+        z_mask = None
+        if mask is not None:
+            # depth mask -> latent depth via torch-nearest rule, broadcast to
+            # (B, D, 1, 1, 1) against NDHWC latents
+            m = mask.astype(jnp.float32)[:, :, None, None, None]
+            if m.shape[1] != z_gt.shape[1]:
+                m = resize_nearest(m, (z_gt.shape[1], 1, 1))
+            z_mask = m
+
+        kt, kn = jax.random.split(key)
+        t = sample_timesteps(kt, z_gt.shape[0], self.schedule.timesteps)
+        noise = jax.random.normal(kn, z_gt.shape, jnp.float32).astype(z_gt.dtype)
+        z_t = q_sample(self.schedule, z_gt, t, noise)
+        eps_pred = self.apply_unet(params, z_t, t, z_in)
+        loss, metrics = diffusion_training_loss(
+            self.schedule, eps_pred, noise, t, mask=z_mask
+        )
+        return loss, metrics
+
+    # ------------------------------------------------------------ inference
+    def generate(
+        self,
+        params,
+        v_in: jnp.ndarray,
+        key: jax.Array,
+        sampler: str = "ddim",
+        num_inference_steps: int = 20,
+        target_depth: Optional[int] = None,
+        eta: float = 0.0,
+    ) -> jnp.ndarray:
+        """Thick -> thin volume generation (reference model.py:230-343).
+
+        Pure and jittable for static (sampler, steps, target_depth).
+        """
+        from video_to_video_diffusion_tpu.inference.sampler import (
+            ddim_sample,
+            ddpm_sample,
+        )
+
+        v_in = jnp.nan_to_num(v_in.astype(jnp.float32))
+        z_in = self.encode(params, v_in, f32=True)
+        z_in = jnp.nan_to_num(z_in, posinf=1.0, neginf=-1.0)
+        if target_depth is not None and target_depth != z_in.shape[1]:
+            z_in = resize_trilinear(
+                z_in, (target_depth, z_in.shape[2], z_in.shape[3])
+            )
+        latent_shape = z_in.shape
+
+        def eps_fn(z, t):
+            return self.apply_unet(params, z, t, z_in, f32=True)
+
+        if sampler == "ddpm":
+            z0 = ddpm_sample(eps_fn, self.schedule, key, latent_shape)
+        elif sampler == "ddim":
+            z0 = ddim_sample(
+                eps_fn, self.schedule, key, latent_shape, num_inference_steps, eta
+            )
+        else:
+            raise ValueError(f"Unknown sampler: {sampler}")
+        z0 = jnp.nan_to_num(z0, posinf=1.0, neginf=-1.0)
+        v_out = self.decode(params, z0, f32=True)
+        return jnp.nan_to_num(v_out, posinf=1.0, neginf=-1.0)
+
+    # ------------------------------------------------------------- metadata
+    def count_parameters(self, params) -> Dict[str, int]:
+        """Parameter counts (reference model.py:390-420)."""
+
+        def count(tree):
+            return sum(int(x.size) for x in jax.tree_util.tree_leaves(tree))
+
+        vae = count(params["vae"])
+        unet = count(params["unet"])
+        return {
+            "total": vae + unet,
+            "trainable": vae + unet,
+            "vae": vae,
+            "unet": unet,
+            "diffusion": 0,
+        }

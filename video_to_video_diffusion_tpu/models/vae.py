@@ -1,0 +1,135 @@
+"""3D slice-interpolation VAE (TPU/Flax).
+
+Capability parity with the reference `SliceInterpolationVAE`
+(models/vae.py:100-325): encodes (B, D, H, W, C) CT volumes to
+(B, D, H/4, W/4, latent_dim) latents (depth preserved, spatial 4x with the
+default 2 down stages — built to the reference *code*, its docs' 8x claim is
+stale, SURVEY.md §2.7), no encoder<->decoder skips, scaling_factor on
+encode/decode, tanh-bounded decoder output, deterministic autoencoder by
+default with an optional posterior split (`encode_with_posterior`,
+reference :262-287).
+
+The number of down stages is configurable so the doc-claimed 8x variant is a
+config change (`vae_num_down_stages: 3`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from video_to_video_diffusion_tpu.models.layers import (
+    Conv3D,
+    Conv3DBlock,
+    DownsampleBlock,
+    ResBlock3D,
+    UpsampleBlock,
+)
+
+Dtype = Any
+
+
+class VideoEncoder(nn.Module):
+    """(B, D, H, W, C) -> (B, D, H/4^, W/4^, latent_dim). Reference vae.py:100-147."""
+
+    latent_dim: int = 4
+    base_channels: int = 64
+    num_down_stages: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ch = self.base_channels
+        h = Conv3DBlock(ch, dtype=self.dtype, name="conv_in")(x)
+        for i in range(self.num_down_stages):
+            h = ResBlock3D(ch, dtype=self.dtype, name=f"down{i+1}_res1")(h)
+            h = ResBlock3D(ch, dtype=self.dtype, name=f"down{i+1}_res2")(h)
+            ch *= 2
+            h = DownsampleBlock(ch, dtype=self.dtype, name=f"down{i+1}_ds")(h)
+        h = ResBlock3D(ch, dtype=self.dtype, name="mid_res1")(h)
+        h = ResBlock3D(ch, dtype=self.dtype, name="mid_res2")(h)
+        # SD-VAE-style head: 8ch bottleneck then 1x1x1 quant conv (vae.py:132-137)
+        h = Conv3D(8, 3, 1, 1, dtype=self.dtype, name="conv_out")(h)
+        z = Conv3D(self.latent_dim, 1, 1, 0, dtype=self.dtype, name="quant_conv")(h)
+        return z
+
+
+class VideoDecoder(nn.Module):
+    """(B, D, h, w, latent_dim) -> (B, D, H, W, C), tanh output. Reference vae.py:150-204."""
+
+    out_channels: int = 1
+    base_channels: int = 64
+    num_up_stages: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        ch = self.base_channels * (2 ** self.num_up_stages)
+        h = Conv3D(8, 1, 1, 0, dtype=self.dtype, name="post_quant_conv")(z)
+        h = Conv3DBlock(ch, dtype=self.dtype, name="conv_in")(h)
+        h = ResBlock3D(ch, dtype=self.dtype, name="mid_res1")(h)
+        h = ResBlock3D(ch, dtype=self.dtype, name="mid_res2")(h)
+        for i in range(self.num_up_stages):
+            ch //= 2
+            h = UpsampleBlock(ch, dtype=self.dtype, name=f"up{i+1}_us")(h)
+            h = ResBlock3D(ch, dtype=self.dtype, name=f"up{i+1}_res1")(h)
+            h = ResBlock3D(ch, dtype=self.dtype, name=f"up{i+1}_res2")(h)
+        h = Conv3D(self.out_channels, 3, 1, 1, dtype=self.dtype, name="conv_out")(h)
+        # Bound to [-1, 1] in f32 (vae.py:203)
+        return jnp.tanh(h.astype(jnp.float32)).astype(h.dtype)
+
+
+class SliceInterpolationVAE(nn.Module):
+    """Composite VAE with scaled encode/decode (reference vae.py:207-325)."""
+
+    in_channels: int = 1
+    latent_dim: int = 8
+    base_channels: int = 128
+    scaling_factor: float = 1.0
+    num_down_stages: int = 2
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = VideoEncoder(
+            latent_dim=self.latent_dim,
+            base_channels=self.base_channels,
+            num_down_stages=self.num_down_stages,
+            dtype=self.dtype,
+        )
+        self.decoder = VideoDecoder(
+            out_channels=self.in_channels,
+            base_channels=self.base_channels,
+            num_up_stages=self.num_down_stages,
+            dtype=self.dtype,
+        )
+
+    def encode(self, x: jnp.ndarray) -> jnp.ndarray:
+        """[-1,1] volume -> scaled latent (reference vae.py:235-247)."""
+        return self.encoder(x) * self.scaling_factor
+
+    def decode(self, z: jnp.ndarray) -> jnp.ndarray:
+        """scaled latent -> [-1,1] volume (reference vae.py:249-260)."""
+        return self.decoder(z / self.scaling_factor)
+
+    def encode_with_posterior(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Split raw encoder output into (mu, logvar) halves (vae.py:262-287)."""
+        z = self.encoder(x)
+        return jnp.split(z, 2, axis=-1)
+
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        z = self.encode(x)
+        recon = self.decode(z)
+        return recon, z
+
+    def get_latent_shape(self, volume_shape) -> Tuple[int, ...]:
+        """NDHWC latent shape for an NDHWC volume shape (reference vae.py:303-306)."""
+        B, D, H, W, _ = volume_shape
+        f = 2 ** self.num_down_stages
+        return (B, D, H // f, W // f, self.latent_dim)
+
+
+# Backward-compatibility alias (reference vae.py:325)
+VideoVAE = SliceInterpolationVAE

@@ -1,0 +1,60 @@
+"""GroupNorm (channels-last) with torch semantics.
+
+Matches ``torch.nn.GroupNorm(num_groups, C, eps=1e-5)`` on NDHWC input:
+statistics are computed in f32 over (D, H, W, C//G) per (batch, group) —
+contiguous channel grouping, like torch. The reference normalizes with 8
+groups in the VAE (models/vae.py:28) and an adaptive largest-divisor<=32
+group count in the UNet (models/unet3d.py:62-68).
+
+A fused Pallas groupnorm+SiLU kernel lives in ops/pallas/groupnorm_silu.py;
+`group_norm(..., activation="silu")` dispatches to it on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def adaptive_num_groups(channels: int) -> int:
+    """Largest divisor of `channels` among [32, 16, 8, 4, 2, 1].
+
+    Reference: models/unet3d.py:62-68 (`_get_num_groups`).
+    """
+    for groups in (32, 16, 8, 4, 2, 1):
+        if channels % groups == 0:
+            return groups
+    return 1
+
+
+def group_norm(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int,
+    eps: float = 1e-5,
+    activation: str | None = None,
+) -> jnp.ndarray:
+    """GroupNorm over channels-last input of shape (B, ..., C).
+
+    Stats in f32 regardless of input dtype (bf16-safe); output cast back to
+    the input dtype. `activation` in {None, "silu"} optionally fuses the
+    nonlinearity (XLA fuses this on its own; the flag also routes to the
+    Pallas kernel on TPU for the big VAE blocks).
+    """
+    orig_dtype = x.dtype
+    B = x.shape[0]
+    C = x.shape[-1]
+    assert C % num_groups == 0, f"channels {C} not divisible by groups {num_groups}"
+    xf = x.astype(jnp.float32)
+    grouped = xf.reshape(B, -1, num_groups, C // num_groups)
+    mean = jnp.mean(grouped, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(grouped - mean), axis=(1, 3), keepdims=True)
+    normed = (grouped - mean) * jax.lax.rsqrt(var + eps)
+    normed = normed.reshape(xf.shape)
+    out = normed * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if activation == "silu":
+        out = out * jax.nn.sigmoid(out)
+    elif activation is not None:
+        raise ValueError(f"unsupported activation {activation}")
+    return out.astype(orig_dtype)
