@@ -1,0 +1,134 @@
+"""Headline benchmark: full-volume 50-step DDIM generation + VAE decode.
+
+Task (BASELINE.json): generate a 48x512x512 thin volume from an 8x512x512
+thick volume with the medium model (latent 8, VAE base 128, UNet 128ch
+[1,2,4,4]) via sliding-window patch DDIM + Gaussian-blended stitching.
+
+Reference baseline (A100 80GB, published): ~30 s per 50-step DDIM patch
+sample (README.md:475-479). The stitching grid for an 8x512x512 volume at
+patch (8,192,192) / stride (4,96,96) is 1x5x5 = 25 patches (dedup'd,
+edge-snapped — inference/sampler.py:388-395), so the full volume costs
+25 x 30 s = 750 s sequentially on the reference implementation.
+
+This benchmark runs the same grid on one TPU chip with patches *batched*
+through the jitted DDIM scan, bf16 UNet compute, f32 sampler math.
+
+Env knobs:
+  BENCH_STEPS   DDIM steps (default 50)
+  BENCH_PB      patch batch size (default 25 — whole grid in one batch)
+  BENCH_SMALL   1 = tiny proxy config for quick CPU smoke runs
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_SECONDS_PER_PATCH_50STEP = 30.0  # README.md:475-479
+GRID_PATCHES = 25  # 8x512x512 @ patch (8,192,192), stride (4,96,96)
+BASELINE_FULL_VOLUME_S = A100_SECONDS_PER_PATCH_50STEP * GRID_PATCHES  # 750 s
+
+
+def main() -> None:
+    small = os.environ.get("BENCH_SMALL") == "1"
+    steps = int(os.environ.get("BENCH_STEPS", "50"))
+    patch_batch = int(os.environ.get("BENCH_PB", "25"))
+    if small:
+        from video_to_video_diffusion_tpu.utils.platform import configure_platform
+
+        configure_platform("cpu")
+
+    from video_to_video_diffusion_tpu.config import load_config
+    from video_to_video_diffusion_tpu.models.model import VideoToVideoDiffusion
+    from video_to_video_diffusion_tpu.inference.sampler import sample_with_stitching
+    from video_to_video_diffusion_tpu.data.synthetic import synthetic_patient_pair
+    from video_to_video_diffusion_tpu.data.windowing import (
+        apply_ct_windowing,
+        to_model_range,
+    )
+
+    if small:
+        cfg = load_config("tiny_test")
+        vol_hw, patch_hw, stride_hw = 64, 32, 16
+        pd_thick, pd_thin = 4, 8
+        d_thick = 4
+        steps = min(steps, 5)
+        patch_batch = min(patch_batch, 8)
+    else:
+        cfg = load_config("slice_interpolation_full_medium")
+        vol_hw, patch_hw, stride_hw = 512, 192, 96
+        pd_thick, pd_thin = 8, 48
+        d_thick = 8
+
+    model = VideoToVideoDiffusion(cfg)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, patch_shape=(pd_thick, patch_hw, patch_hw), batch=1)
+
+    # synthetic thick volume, windowed to [-1, 1] (thick = thin/5 block means,
+    # so generate 5*d_thick thin slices)
+    thick_hu, _ = synthetic_patient_pair(
+        0, thin_depth=d_thick * 5, height=vol_hw, width=vol_hw
+    )
+    v_thick = to_model_range(apply_ct_windowing(thick_hu))[None, ..., None]
+    v_thick = jnp.asarray(v_thick[:, :d_thick])
+
+    ratio = pd_thin // pd_thick
+    gen_patch = jax.jit(
+        lambda v, k: model.generate(
+            params, v, k, "ddim", steps, target_depth=v.shape[1] * ratio
+        )
+    )
+
+    def run(key):
+        out = sample_with_stitching(
+            gen_patch,
+            v_thick,
+            key,
+            patch_size=(pd_thick, patch_hw, patch_hw),
+            target_patch_size=(pd_thin, patch_hw, patch_hw),
+            stride=(max(pd_thick // 2, 1), stride_hw, stride_hw),
+            patch_batch=patch_batch,
+        )
+        return jax.block_until_ready(out)
+
+    # warmup (compile)
+    t0 = time.time()
+    out = run(jax.random.PRNGKey(1))
+    warm = time.time() - t0
+    assert np.isfinite(np.asarray(out)).all(), "non-finite benchmark output"
+
+    t0 = time.time()
+    out = run(jax.random.PRNGKey(2))
+    elapsed = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "metric": "48x512x512 volume gen time (50-step DDIM + decode)"
+                if not small
+                else "tiny proxy volume gen time",
+                "value": round(elapsed, 3),
+                "unit": "s",
+                "vs_baseline": round(BASELINE_FULL_VOLUME_S / elapsed, 3)
+                if not small
+                else 0.0,
+            }
+        )
+    )
+    print(
+        f"# shape={tuple(out.shape)} steps={steps} patch_batch={patch_batch} "
+        f"warmup(incl. compile)={warm:.1f}s device={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,191 @@
+"""Training stack tests: schedules, optimizer groups, trainers, checkpointing."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import optax
+
+from video_to_video_diffusion_tpu.config import load_config
+from video_to_video_diffusion_tpu.data.loader import get_unified_dataloader
+from video_to_video_diffusion_tpu.models.model import VideoToVideoDiffusion
+from video_to_video_diffusion_tpu.training.schedule import get_schedule
+from video_to_video_diffusion_tpu.training.state import (
+    make_optimizer,
+    param_group_label,
+)
+from video_to_video_diffusion_tpu.training.trainer import Trainer
+from video_to_video_diffusion_tpu.training.train_vae import VAETrainer
+from video_to_video_diffusion_tpu.utils.checkpoint import (
+    find_best_checkpoint,
+    find_latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+def _tiny_cfg(tmp_path, **overrides):
+    base = load_config("tiny_test").to_dict()
+    base["data"].update(
+        processed_dir=str(tmp_path / "cache"),
+        synthetic_num_patients=4,
+        val_split=0.25,
+        test_split=0.25,
+        patch_depth_thin=8,
+        patch_depth_thick=4,
+        patch_size=[32, 32],
+        batch_size=2,
+    )
+    base["training"].update(
+        checkpoint_dir=str(tmp_path / "ckpts"),
+        log_dir=str(tmp_path / "logs"),
+        output_dir=str(tmp_path / "out"),
+        num_epochs=1,
+        patch_val_interval=1,
+        full_val_interval=0,
+        final_val_enabled=False,
+    )
+    for k, v in overrides.items():
+        sec, key = k.split(".")
+        base[sec][key] = v
+    return load_config(base)
+
+
+def test_schedule_cosine_warmup():
+    s = get_schedule("cosine", 1e-3, total_steps=100, warmup_steps=10, min_lr=1e-6)
+    assert float(s(0)) < float(s(10))
+    np.testing.assert_allclose(float(s(10)), 1e-3, rtol=1e-2)
+    assert float(s(100)) <= float(s(50))
+    np.testing.assert_allclose(float(s(100)), 1e-6, atol=1e-7)
+
+
+def test_schedule_linear_and_constant():
+    lin = get_schedule("linear", 1e-3, 10, min_lr=1e-5)
+    np.testing.assert_allclose(float(lin(0)), 1e-3)
+    np.testing.assert_allclose(float(lin(10)), 1e-5, rtol=1e-5)
+    const = get_schedule("constant", 5e-4, 10)
+    assert float(const(7)) == 5e-4
+    with pytest.raises(ValueError):
+        get_schedule("bogus", 1e-3, 10)
+
+
+def test_param_group_labels():
+    model = VideoToVideoDiffusion("tiny_test")
+    params = model.init(jax.random.PRNGKey(0), patch_shape=(4, 32, 32))
+    labels = jax.tree_util.tree_map_with_path(param_group_label, params)
+    flat = jax.tree_util.tree_leaves_with_path(labels)
+    seen = set(l for _, l in flat)
+    assert seen == {"vae_encoder", "vae_decoder", "unet"}
+
+
+def test_frozen_vae_stays_frozen(tmp_path):
+    """lr multiplier 0 must freeze the VAE exactly (reference train.py:166-218)."""
+    cfg = _tiny_cfg(tmp_path)
+    model = VideoToVideoDiffusion(cfg)
+    params = model.init(jax.random.PRNGKey(0), patch_shape=(4, 32, 32))
+    tx, _ = make_optimizer(cfg, params, total_steps=10,
+                           lr_multipliers={"vae_encoder": 0.0, "vae_decoder": 0.0, "unet": 1.0})
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    vae_update = sum(float(jnp.abs(u).sum()) for u in jax.tree_util.tree_leaves(updates["vae"]))
+    unet_update = sum(float(jnp.abs(u).sum()) for u in jax.tree_util.tree_leaves(updates["unet"]))
+    assert vae_update == 0.0
+    assert unet_update > 0.0
+
+
+def test_grad_accumulation_steps(tmp_path):
+    cfg = _tiny_cfg(tmp_path, **{"training.gradient_accumulation_steps": 2})
+    model = VideoToVideoDiffusion(cfg)
+    params = model.init(jax.random.PRNGKey(0), patch_shape=(4, 32, 32))
+    tx, _ = make_optimizer(cfg, params, total_steps=10)
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    u1, opt_state = tx.update(grads, opt_state, params)
+    # first micro-step of 2 must be a no-op update
+    assert sum(float(jnp.abs(u).sum()) for u in jax.tree_util.tree_leaves(u1["unet"])) == 0.0
+    u2, opt_state = tx.update(grads, opt_state, params)
+    assert sum(float(jnp.abs(u).sum()) for u in jax.tree_util.tree_leaves(u2["unet"])) > 0.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {"a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3), "b": {"c": jnp.ones(4)}}
+    meta = {"epoch": 3, "best_loss": 0.5}
+    p = str(tmp_path / "ck" / "checkpoint_best_epoch_0003")
+    save_checkpoint(p, tree, meta)
+    restored, m = load_checkpoint(p, target=jax.device_get(tree))
+    np.testing.assert_array_equal(np.asarray(restored["a"]), np.asarray(tree["a"]))
+    assert m["epoch"] == 3
+    assert find_best_checkpoint(str(tmp_path / "ck")) == os.path.abspath(p)
+    assert find_latest_checkpoint(str(tmp_path / "ck")) == os.path.abspath(p)
+
+
+def test_trainer_one_epoch_improves_and_checkpoints(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    model = VideoToVideoDiffusion(cfg)
+    train_loader = get_unified_dataloader(cfg, "train")
+    val_loader = get_unified_dataloader(cfg, "val")
+    tr = Trainer(model, cfg, train_loader, val_loader)
+    out = tr.train()
+    assert "patch_loss" in out and np.isfinite(out["patch_loss"])
+    names = os.listdir(tr.ckpt_dir)
+    assert any(n.startswith("checkpoint_final_epoch_") for n in names)
+    assert any(n.startswith("checkpoint_best_epoch_") for n in names)
+
+
+def test_trainer_resume_roundtrip(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    model = VideoToVideoDiffusion(cfg)
+    train_loader = get_unified_dataloader(cfg, "train")
+    tr = Trainer(model, cfg, train_loader, get_unified_dataloader(cfg, "val"))
+    tr.train()
+    best = find_best_checkpoint(tr.ckpt_dir, tr.suffix)
+    tr2 = Trainer(model, cfg, train_loader, None)
+    tr2.load_checkpoint(best)
+    assert tr2.epoch >= 1
+    a = jax.tree_util.tree_leaves(tr.state.params)[0]
+    b = jax.tree_util.tree_leaves(tr2.state.params)[0]
+    # params restored bit-exact from the best checkpoint
+    restored, _ = load_checkpoint(best)
+    c = jax.tree_util.tree_leaves(restored["params"])[0]
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(c))
+
+
+def test_vae_trainer_overfits_smoke(tmp_path):
+    cfg = _tiny_cfg(tmp_path, **{"training.num_epochs": 2, "training.learning_rate": 0.003})
+    vt = VAETrainer(cfg)
+    train_loader = get_unified_dataloader(cfg, "train")
+    val_loader = get_unified_dataloader(cfg, "val")
+    vt.setup_optimizer(max(len(train_loader), 1))
+    # capture loss at start vs end on a fixed batch
+    batch = next(iter(train_loader))
+    x = jnp.asarray(batch["target"])
+    recon0 = vt._reconstruct(vt.state.params, x)
+    loss0 = float(jnp.mean((recon0 - x) ** 2))
+    out = vt.train(train_loader, val_loader)
+    recon1 = vt._reconstruct(vt.state.params, x)
+    loss1 = float(jnp.mean((recon1 - x) ** 2))
+    assert loss1 < loss0, (loss0, loss1)
+    assert np.isfinite(out["val_psnr"])
+    names = os.listdir(vt.ckpt_dir)
+    assert any(n.startswith("vae_best") for n in names)
+    assert any(n.startswith("vae_epoch_") for n in names)
+
+
+def test_vae_trainer_resume(tmp_path):
+    cfg = _tiny_cfg(tmp_path, **{"training.num_epochs": 1})
+    vt = VAETrainer(cfg)
+    tl = get_unified_dataloader(cfg, "train")
+    vl = get_unified_dataloader(cfg, "val")
+    vt.setup_optimizer(max(len(tl), 1))
+    vt.train(tl, vl)
+    best = os.path.join(vt.ckpt_dir, f"vae_best{vt.suffix}")
+    vt2 = VAETrainer(cfg)
+    vt2.setup_optimizer(max(len(tl), 1))
+    vt2.load_checkpoint(best)
+    assert vt2.epoch == 1
+    a = jax.tree_util.tree_leaves(vt.state.params)[0]
+    b = jax.tree_util.tree_leaves(vt2.state.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,102 @@
+"""Generation convenience wrappers (reference inference/generate.py:14-226).
+
+`generate_video` (file -> transform -> generate -> save), `generate_batch`,
+and `interpolate_videos` (latent-space lerp between two inputs, reference
+:158-226) over the composite model.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_to_video_diffusion_tpu.data.transforms import (
+    DenormalizeVideo,
+    VideoTransform,
+    load_video,
+    save_video,
+)
+from video_to_video_diffusion_tpu.inference.sampler import ddim_sample
+from video_to_video_diffusion_tpu.models.model import VideoToVideoDiffusion
+from video_to_video_diffusion_tpu.utils.metrics import calculate_video_metrics
+
+
+def generate_video(
+    model: VideoToVideoDiffusion,
+    params,
+    input_path: str,
+    output_path: Optional[str] = None,
+    key: Optional[jax.Array] = None,
+    sampler: str = "ddim",
+    num_inference_steps: int = 20,
+    target_depth: Optional[int] = None,
+    size=(256, 256),
+) -> np.ndarray:
+    """Load a video/volume file, run generation, optionally save the output."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    frames = load_video(input_path)
+    v_in = VideoTransform(size)(frames)[None]  # (1, D, h, w, C)
+    out = model.generate(
+        params, jnp.asarray(v_in), key, sampler, num_inference_steps, target_depth
+    )
+    out_np = np.asarray(out)
+    if output_path:
+        save_video(out_np, output_path)
+    return out_np
+
+
+def generate_batch(
+    model: VideoToVideoDiffusion,
+    params,
+    inputs: np.ndarray,
+    key: Optional[jax.Array] = None,
+    sampler: str = "ddim",
+    num_inference_steps: int = 20,
+    target_depth: Optional[int] = None,
+    targets: Optional[np.ndarray] = None,
+) -> Dict:
+    """Batched generation (+ metrics vs optional targets). Reference :98-155."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    out = np.asarray(
+        model.generate(
+            params, jnp.asarray(inputs), key, sampler, num_inference_steps, target_depth
+        )
+    )
+    result = {"videos": out}
+    if targets is not None:
+        denorm = DenormalizeVideo()
+        result["metrics"] = calculate_video_metrics(denorm(out), denorm(targets))
+    return result
+
+
+def interpolate_videos(
+    model: VideoToVideoDiffusion,
+    params,
+    v_a: np.ndarray,
+    v_b: np.ndarray,
+    num_interpolations: int = 5,
+    key: Optional[jax.Array] = None,
+    num_inference_steps: int = 20,
+) -> List[np.ndarray]:
+    """Latent lerp between two conditioning volumes (reference :158-226):
+    encode both, interpolate the conditioning latent, sample each blend with
+    a shared noise key, decode."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    z_a = model.encode(params, jnp.asarray(v_a), f32=True)
+    z_b = model.encode(params, jnp.asarray(v_b), f32=True)
+    outs = []
+    for i in range(num_interpolations):
+        alpha = i / max(num_interpolations - 1, 1)
+        z_c = (1.0 - alpha) * z_a + alpha * z_b
+
+        def eps_fn(z, t, z_c=z_c):
+            return model.apply_unet(params, z, t, z_c, f32=True)
+
+        z0 = ddim_sample(
+            eps_fn, model.schedule, key, z_c.shape, num_inference_steps
+        )
+        outs.append(np.asarray(model.decode(params, z0, f32=True)))
+    return outs

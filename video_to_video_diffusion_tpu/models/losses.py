@@ -1,0 +1,182 @@
+"""Auxiliary losses (differentiable JAX): SSIM / MS-SSIM, autoencoder loss.
+
+Rebuild of the reference aux losses (models/losses.py:149-361 MS-SSIM,
+training/train_vae.py:42-169 AutoencoderLoss). Notes on divergences:
+
+  * The reference's VGG19 perceptual loss (models/losses.py:22-146) and
+    LPIPS (train_vae.py:76-96) depend on torchvision/lpips pretrained CNNs
+    that cannot sit on the JAX/TPU training path; default configs ship with
+    both disabled (config/slice_interpolation_full_medium.yaml:153-158), and
+    here they are likewise off — the SSIM family below is the supported
+    differentiable perceptual term.
+  * Every-N-step gating (reference train_vae.py:141-153, losses.py:343-357)
+    is implemented with `lax.cond` on the step counter so it stays jittable.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def _avg_pool(x: jnp.ndarray, k: int, stride: int, pad: int) -> jnp.ndarray:
+    s = lax.reduce_window(
+        x, 0.0, lax.add, (1, k, k, 1), (1, stride, stride, 1), ((0, 0), (pad, pad), (pad, pad), (0, 0))
+    )
+    return s / float(k * k)
+
+
+def _ssim_components(
+    x: jnp.ndarray, y: jnp.ndarray, window: int, max_val: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(luminance*cs map, cs map) for (B, H, W, C) inputs."""
+    C1 = (0.01 * max_val) ** 2
+    C2 = (0.03 * max_val) ** 2
+    p = window // 2
+    mu1 = _avg_pool(x, window, 1, p)
+    mu2 = _avg_pool(y, window, 1, p)
+    s1 = jnp.maximum(_avg_pool(x * x, window, 1, p) - mu1 * mu1, 0.0)
+    s2 = jnp.maximum(_avg_pool(y * y, window, 1, p) - mu2 * mu2, 0.0)
+    s12 = _avg_pool(x * y, window, 1, p) - mu1 * mu2
+    lum = (2 * mu1 * mu2 + C1) / (mu1 * mu1 + mu2 * mu2 + C1)
+    cs = (2 * s12 + C2) / (s1 + s2 + C2)
+    return lum * cs, cs
+
+
+def ssim_2d(x: jnp.ndarray, y: jnp.ndarray, window: int = 11, max_val: float = 1.0) -> jnp.ndarray:
+    """Differentiable scalar SSIM for (B, H, W, C)."""
+    full, _ = _ssim_components(x.astype(jnp.float32), y.astype(jnp.float32), window, max_val)
+    return full.mean()
+
+
+def ms_ssim(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    window: int = 11,
+    max_val: float = 1.0,
+    weights: Sequence[float] = _MSSSIM_WEIGHTS,
+) -> jnp.ndarray:
+    """Multi-scale SSIM for (B, H, W, C) (reference models/losses.py:149-278).
+
+    cs terms from the coarse-to-fine pyramid are combined with the standard
+    exponent weights; callers must ensure H, W >= window * 2**(levels-1).
+    """
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    levels = len(weights)
+    vals = []
+    for i in range(levels):
+        full, cs = _ssim_components(x, y, window, max_val)
+        if i == levels - 1:
+            vals.append(jnp.clip(full.mean(), 1e-6, 1.0))
+        else:
+            vals.append(jnp.clip(cs.mean(), 1e-6, 1.0))
+            x = _avg_pool(x, 2, 2, 0)
+            y = _avg_pool(y, 2, 2, 0)
+    out = jnp.prod(
+        jnp.stack([v ** w for v, w in zip(vals, weights)])
+    )
+    return out
+
+
+def ms_ssim_video(
+    x: jnp.ndarray, y: jnp.ndarray, max_val: float = 1.0, **kw
+) -> jnp.ndarray:
+    """Per-slice MS-SSIM on (B, D, H, W, C), depth folded into batch."""
+    B, D, H, W, C = x.shape
+    return ms_ssim(x.reshape(B * D, H, W, C), y.reshape(B * D, H, W, C), max_val=max_val, **kw)
+
+
+class AutoencoderLoss:
+    """VAE reconstruction loss: MSE + optional mid-slice SSIM term.
+
+    Reference training/train_vae.py:42-169: MSE always; SSIM-loss on the
+    middle slice gated every N steps; everything reduced in f32. (The LPIPS
+    term is unavailable on the TPU path — see module docstring.)
+    """
+
+    def __init__(
+        self,
+        use_ssim: bool = False,
+        ssim_weight: float = 0.1,
+        every_n_steps: int = 1,
+        max_val_range: float = 2.0,  # data lives in [-1, 1]
+    ):
+        self.use_ssim = use_ssim
+        self.ssim_weight = float(ssim_weight)
+        self.every_n = max(int(every_n_steps), 1)
+        self.max_val = float(max_val_range)
+
+    def __call__(
+        self, recon: jnp.ndarray, target: jnp.ndarray, step: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        recon32 = recon.astype(jnp.float32)
+        target32 = target.astype(jnp.float32)
+        mse = jnp.mean((recon32 - target32) ** 2)
+        total = mse
+        aux: Dict[str, jnp.ndarray] = {"mse": mse}
+        if self.use_ssim and self.ssim_weight > 0:
+            D = recon.shape[1]
+            mid_r = recon32[:, D // 2]
+            mid_t = target32[:, D // 2]
+
+            def with_ssim(_):
+                return 1.0 - ssim_2d(mid_r, mid_t, max_val=self.max_val)
+
+            gate = (step % self.every_n) == 0
+            ssim_l = lax.cond(gate, with_ssim, lambda _: jnp.float32(0.0), None)
+            total = total + self.ssim_weight * ssim_l
+            aux["ssim_loss"] = ssim_l
+        aux["total"] = total
+        return total, aux
+
+
+class CombinedLoss:
+    """Weighted diffusion + aux loss combinator (reference models/losses.py:279-361).
+
+    The diffusion MSE is always on; MS-SSIM (decoded-volume) is gated every N
+    steps with weight lambda_ssim. Perceptual (VGG) is not available on-TPU
+    and is rejected if requested.
+    """
+
+    def __init__(
+        self,
+        lambda_ssim: float = 0.0,
+        ssim_every_n_steps: int = 10,
+        use_perceptual: bool = False,
+    ):
+        if use_perceptual:
+            raise NotImplementedError(
+                "VGG perceptual loss requires a pretrained torch CNN and is not "
+                "available on the TPU path (reference default configs disable it)"
+            )
+        self.lambda_ssim = float(lambda_ssim)
+        self.every_n = max(int(ssim_every_n_steps), 1)
+
+    def __call__(
+        self,
+        diffusion_loss: jnp.ndarray,
+        step: jnp.ndarray,
+        decoded_pred: Optional[jnp.ndarray] = None,
+        decoded_target: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        aux = {"diffusion": diffusion_loss}
+        total = diffusion_loss
+        if self.lambda_ssim > 0 and decoded_pred is not None:
+            def with_ssim(_):
+                return 1.0 - ms_ssim_video(
+                    (decoded_pred + 1.0) / 2.0, (decoded_target + 1.0) / 2.0, max_val=1.0
+                )
+
+            gate = (step % self.every_n) == 0
+            ssim_l = lax.cond(gate, with_ssim, lambda _: jnp.float32(0.0), None)
+            total = (1.0 - self.lambda_ssim) * total + self.lambda_ssim * ssim_l
+            aux["ms_ssim_loss"] = ssim_l
+        aux["total"] = total
+        return total, aux

@@ -1,0 +1,69 @@
+"""Sharding rules: batch over 'data', wide weights over 'tensor'.
+
+XLA's SPMD partitioner inserts the collectives (all-gather on sharded-weight
+convs, psum on data-parallel grads) — we only annotate placements, per the
+scaling-book recipe: pick a mesh, annotate shardings, let XLA do the rest.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from video_to_video_diffusion_tpu.parallel.mesh import DATA_AXIS, TENSOR_AXIS
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data', replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_partition_specs(
+    params: Any,
+    mesh: Mesh,
+    min_shard_size: int = 128,
+) -> Any:
+    """Megatron-lite weight partitioning.
+
+    Rule: any >=2-D kernel whose trailing (out-feature) dim is divisible by
+    the tensor-axis size and at least `min_shard_size` is sharded on that dim
+    over 'tensor'; everything else (biases, norm scales, small kernels) is
+    replicated. With tensor_parallel=1 this degenerates to full replication
+    (pure data parallelism — the right default at reference model sizes).
+    """
+    tp = mesh.shape[TENSOR_AXIS]
+
+    def spec_for(x) -> P:
+        if tp <= 1 or x.ndim < 2:
+            return P()
+        out_dim = x.shape[-1]
+        if out_dim % tp == 0 and out_dim >= min_shard_size:
+            return P(*([None] * (x.ndim - 1)), TENSOR_AXIS)
+        return P()
+
+    return jax.tree_util.tree_map(spec_for, params)
+
+
+def shard_params(params: Any, mesh: Mesh, specs: Any = None) -> Any:
+    """Place a param pytree on the mesh per `specs` (or the default rules)."""
+    if specs is None:
+        specs = param_partition_specs(params, mesh)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """device_put a host batch with the leading axis split over 'data'."""
+    sh = batch_sharding(mesh)
+    return {
+        k: jax.device_put(v, sh) if hasattr(v, "shape") else v
+        for k, v in batch.items()
+    }

@@ -1,0 +1,125 @@
+"""Train state and optimizer construction.
+
+Rebuild of the reference's optimizer plumbing (training/train.py:166-229):
+layer-wise learning-rate multipliers per parameter group (vae_encoder /
+vae_decoder / unet) become an `optax.multi_transform`; multiplier 0.0 freezes
+the group with `optax.set_to_zero` (the functional analogue of
+requires_grad=False, which also skips its Adam moments). Gradient
+accumulation is `optax.MultiSteps` (reference trainer.py:236-247); bf16 on
+TPU needs no GradScaler.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from video_to_video_diffusion_tpu.config import Config
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray  # micro-steps (MultiSteps inner counter mirrors this)
+    params: Any
+    opt_state: Any
+
+
+def param_group_label(path: Tuple, _leaf=None) -> str:
+    """vae_encoder / vae_decoder / unet label from a param path.
+
+    Mirrors the reference's name-prefix grouping (training/train.py:178-206).
+    """
+    keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    if keys and keys[0] == "vae":
+        return "vae_encoder" if "encoder" in keys[1:2] else "vae_decoder"
+    return "unet"
+
+
+def make_optimizer(
+    cfg: Config,
+    params: Any,
+    total_steps: int,
+    steps_per_epoch: int = 1,
+    lr_multipliers: Optional[Dict[str, float]] = None,
+) -> Tuple[optax.GradientTransformation, Callable]:
+    """(optimizer, lr_schedule_fn).
+
+    The schedule counts optimizer (post-accumulation) steps.
+    """
+    from video_to_video_diffusion_tpu.training.schedule import get_schedule
+
+    t = cfg.training
+    if lr_multipliers is None:
+        lr_multipliers = {
+            "vae_encoder": cfg.pretrained.lr_mult_vae_encoder,
+            "vae_decoder": cfg.pretrained.lr_mult_vae_decoder,
+            "unet": cfg.pretrained.lr_mult_unet,
+        }
+    schedule = get_schedule(
+        t.scheduler,
+        t.learning_rate,
+        total_steps=max(total_steps, 1),
+        warmup_steps=t.warmup_epochs * steps_per_epoch,
+        min_lr=t.min_lr,
+    )
+
+    def base_opt(mult: float) -> optax.GradientTransformation:
+        if mult == 0.0:
+            return optax.set_to_zero()
+        scaled = lambda step: schedule(step) * mult
+        if t.optimizer.lower() == "adamw":
+            opt = optax.adamw(scaled, weight_decay=t.weight_decay)
+        elif t.optimizer.lower() == "adam":
+            opt = optax.adam(scaled)
+        else:
+            raise ValueError(f"Unknown optimizer: {t.optimizer}")
+        return opt
+
+    labels = jax.tree_util.tree_map_with_path(param_group_label, params)
+    groups = {name: base_opt(mult) for name, mult in lr_multipliers.items()}
+    tx = optax.chain(
+        optax.clip_by_global_norm(t.max_grad_norm) if t.max_grad_norm else optax.identity(),
+        optax.multi_transform(groups, labels),
+    )
+    if t.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=t.gradient_accumulation_steps)
+    return tx, schedule
+
+
+def create_train_state(params: Any, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params)
+    )
+
+
+def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation):
+    """Build a jittable train step.
+
+    loss_fn(params, batch, key) -> (loss, metrics dict). The returned step
+    computes grads, applies the (possibly accumulating) optimizer, and
+    reports loss + global grad norm. With a ('data',)-sharded batch under
+    jit, XLA inserts the gradient psum automatically.
+    """
+
+    def train_step(state: TrainState, batch: Dict, key: jax.Array):
+        def loss_wrapped(p):
+            return loss_fn(p, batch, key)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_wrapped, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(step=state.step + 1, params=new_params, opt_state=new_opt_state),
+            metrics,
+        )
+
+    return train_step

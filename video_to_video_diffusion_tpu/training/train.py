@@ -1,0 +1,99 @@
+"""Diffusion training CLI.
+
+Rebuild of the reference entry point (training/train.py:47-307): load config,
+build the composite model, load + freeze the pretrained VAE, build the three
+dataloaders (train patches / val patches / optional full-volume val), build
+the layer-wise-LR optimizer, auto-resume from the newest best checkpoint, run
+the Trainer, final full validation.
+
+CLI: python -m video_to_video_diffusion_tpu.training.train --config ... [--resume ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Dict, Optional
+
+import jax
+
+from video_to_video_diffusion_tpu.config import Config, load_config
+from video_to_video_diffusion_tpu.data.loader import get_unified_dataloader
+from video_to_video_diffusion_tpu.models.model import VideoToVideoDiffusion
+from video_to_video_diffusion_tpu.parallel.mesh import make_mesh
+from video_to_video_diffusion_tpu.training.trainer import Trainer
+from video_to_video_diffusion_tpu.utils.checkpoint import (
+    find_best_checkpoint,
+    load_checkpoint,
+)
+from video_to_video_diffusion_tpu.utils.logger import setup_logger
+
+
+def load_vae_into_params(params, checkpoint_path: str):
+    """Replace params['vae'] with a VAE checkpoint's weights.
+
+    Accepts either a VAETrainer checkpoint ({'params': vae_params, ...}) or a
+    full diffusion checkpoint ({'params': {'vae': ..., 'unet': ...}}) — the
+    multi-format sniffing the reference does at training/train.py:77-106.
+    """
+    restored, _meta = load_checkpoint(checkpoint_path)
+    inner = restored.get("params", restored)
+    if "vae" in inner:
+        vae_params = inner["vae"]
+    elif "encoder" in inner:
+        vae_params = inner
+    else:
+        raise ValueError(f"unrecognized VAE checkpoint layout: {list(inner)[:5]}")
+    new = dict(params)
+    new["vae"] = jax.tree_util.tree_map(lambda x: x, vae_params)
+    return new
+
+
+def main(argv=None) -> Dict[str, float]:
+    parser = argparse.ArgumentParser(description="Train the latent diffusion model")
+    parser.add_argument("--config", type=str, default="slice_interpolation_full_medium")
+    parser.add_argument("--resume", type=str, default=None)
+    args = parser.parse_args(argv)
+    logger = setup_logger("train")
+
+    cfg: Config = load_config(args.config)
+    from video_to_video_diffusion_tpu.utils.platform import configure_platform
+
+    configure_platform(cfg.hardware.device)
+    model = VideoToVideoDiffusion(cfg)
+
+    mesh = None
+    if cfg.hardware.distributed and len(jax.devices()) > 1:
+        mesh = make_mesh(cfg.hardware.num_devices)
+        logger.info("mesh: %s", mesh)
+
+    # dataloaders (reference train.py:127-158)
+    train_loader = get_unified_dataloader(cfg, "train")
+    val_loader = get_unified_dataloader(cfg, "val")
+    full_val_loader = None
+    if not cfg.data.use_patches or cfg.training.final_val_full_volumes:
+        full_cfg = load_config({**cfg.to_dict(), "data": {**cfg.to_dict()["data"], "use_patches": False, "batch_size": 1}})
+        full_val_loader = get_unified_dataloader(full_cfg, "val")
+
+    # init params + pretrained VAE load/freeze (reference train.py:71-116)
+    key = jax.random.PRNGKey(cfg.data.seed)
+    params = model.init(
+        key, patch_shape=(cfg.data.patch_depth_thick, *cfg.data.patch_size), batch=1
+    )
+    if cfg.pretrained.use_pretrained and cfg.pretrained.vae_enabled and cfg.pretrained.vae_checkpoint_path:
+        params = load_vae_into_params(params, cfg.pretrained.vae_checkpoint_path)
+        logger.info("loaded VAE from %s", cfg.pretrained.vae_checkpoint_path)
+    # Freezing is the optimizer's job: lr multipliers 0.0 for vae_* groups
+    # (config pretrained.layer_lr_multipliers), enforced in make_optimizer.
+
+    trainer = Trainer(
+        model, cfg, train_loader, val_loader, full_val_loader,
+        mesh=mesh, params=params, rng_seed=cfg.data.seed,
+    )
+    resume = args.resume or find_best_checkpoint(trainer.ckpt_dir, trainer.suffix)
+    if resume:
+        trainer.load_checkpoint(resume)
+    return trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,355 @@
+"""Diffusion training engine.
+
+Rebuild of the reference `Trainer` (training/trainer.py:17-912): epoch loop
+with gradient accumulation and clipping, layer-wise LR groups with frozen
+VAE, multi-tier validation (Tier 1 loss-only / Tier 2 patch metrics with
+best-checkpoint selection / Tier 3 full-volume stitching), TensorBoard
+scalars, best+final checkpoint policy with suffix naming, resume.
+
+TPU specifics: the whole optimization step is one jitted function (grads +
+optimizer in a single XLA program); batches are device_put with the leading
+axis sharded over the mesh 'data' axis, so the gradient all-reduce is an XLA
+psum over ICI; bf16 compute needs no GradScaler; data/step wall-times are
+tracked like the reference's tqdm postfix timers (:199-275).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_to_video_diffusion_tpu.config import Config, load_config
+from video_to_video_diffusion_tpu.models.model import VideoToVideoDiffusion
+from video_to_video_diffusion_tpu.parallel.sharding import shard_batch, shard_params
+from video_to_video_diffusion_tpu.training.state import (
+    TrainState,
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from video_to_video_diffusion_tpu.utils.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+)
+from video_to_video_diffusion_tpu.utils.logger import setup_logger
+from video_to_video_diffusion_tpu.utils.metrics import calculate_video_metrics
+from video_to_video_diffusion_tpu.utils.tb import MetricWriter
+from video_to_video_diffusion_tpu.data.windowing import from_model_range
+
+
+class Trainer:
+    def __init__(
+        self,
+        model: VideoToVideoDiffusion,
+        config,
+        train_loader,
+        val_loader=None,
+        full_val_loader=None,
+        mesh=None,
+        params=None,
+        rng_seed: int = 0,
+    ):
+        self.model = model
+        self.config: Config = load_config(config)
+        t = self.config.training
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.full_val_loader = full_val_loader
+        self.mesh = mesh
+        self.logger = setup_logger("trainer")
+        self.suffix = f"_{t.model_suffix}" if t.model_suffix else ""
+        self.ckpt_dir = os.path.join(t.checkpoint_dir, t.experiment_name)
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self.writer = MetricWriter(os.path.join(t.log_dir, t.experiment_name))
+
+        self.key = jax.random.PRNGKey(rng_seed)
+        if params is None:
+            d = self.config.data
+            self.key, k = jax.random.split(self.key)
+            params = model.init(
+                k,
+                patch_shape=(d.patch_depth_thick, *d.patch_size),
+                batch=1,
+            )
+        steps_per_epoch = max(len(train_loader), 1)
+        total_opt_steps = max(
+            t.num_epochs * steps_per_epoch // max(t.gradient_accumulation_steps, 1), 1
+        )
+        self.tx, self.lr_schedule = make_optimizer(
+            self.config, params, total_opt_steps, steps_per_epoch
+        )
+        if mesh is not None:
+            params = shard_params(params, mesh)
+        self.state = create_train_state(params, self.tx)
+
+        def loss_fn(p, batch, key):
+            return model.loss_fn(
+                p, batch["input"], batch["target"], key, mask=batch.get("thin_mask")
+            )
+
+        self._train_step = jax.jit(make_train_step(loss_fn, self.tx))
+        self._eval_loss = jax.jit(
+            lambda p, batch, key: loss_fn(p, batch, key)[0]
+        )
+
+        self.epoch = 0
+        self.global_step = 0  # optimizer steps (post-accumulation)
+        self.best_loss = float("inf")
+        self.best_ckpt_path: Optional[str] = None
+        self.current_phase = 1
+
+    # ----------------------------------------------------------------- utils
+    def _put(self, batch: Dict) -> Dict:
+        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        if self.mesh is not None:
+            return shard_batch(arrays, self.mesh)
+        return {k: jax.device_put(v) for k, v in arrays.items()}
+
+    def _next_key(self) -> jax.Array:
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    # ----------------------------------------------------------------- train
+    def train_epoch(self) -> Dict[str, float]:
+        t = self.config.training
+        accum = max(t.gradient_accumulation_steps, 1)
+        losses = []
+        data_time = step_time = 0.0
+        t_last = time.time()
+        for i, batch in enumerate(self.train_loader):
+            dev_batch = self._put(batch)
+            data_time += time.time() - t_last
+            t0 = time.time()
+            self.state, metrics = self._train_step(self.state, dev_batch, self._next_key())
+            loss = float(metrics["loss"])
+            step_time += time.time() - t0
+            losses.append(loss)
+            micro = int(self.state.step)
+            self.global_step = micro // accum
+            if t.log_interval and (i % t.log_interval == 0):
+                lr = float(self.lr_schedule(self.global_step))
+                self.writer.add_scalar("train/loss", loss, self.global_step)
+                self.writer.add_scalar("train/lr", lr, self.global_step)
+                self.writer.add_scalar(
+                    "train/grad_norm", float(metrics["grad_norm"]), self.global_step
+                )
+            t_last = time.time()
+        return {
+            "loss": float(np.mean(losses)) if losses else float("nan"),
+            "data_time": data_time,
+            "step_time": step_time,
+        }
+
+    # ------------------------------------------------------------ validation
+    def validate_loss_only(self, max_batches: Optional[int] = None) -> float:
+        """Tier 1 (reference trainer.py:413-445)."""
+        if self.val_loader is None:
+            return float("nan")
+        losses = []
+        for i, batch in enumerate(self.val_loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            losses.append(
+                float(self._eval_loss(self.state.params, self._put(batch), self._next_key()))
+            )
+        val = float(np.mean(losses)) if losses else float("nan")
+        self.writer.add_scalar("val/loss", val, self.global_step)
+        return val
+
+    def validate_patches(self, num_samples: Optional[int] = None, generate: bool = None) -> Dict[str, float]:
+        """Tier 2: patch loss (+ optional DDIM generation metrics).
+
+        Reference trainer.py:447-526; drives best-checkpoint selection.
+        """
+        t = self.config.training
+        if generate is None:
+            generate = t.patch_val_generate
+        if self.val_loader is None:
+            return {}
+        num_samples = num_samples or t.patch_val_samples
+        losses, psnrs, ssims = [], [], []
+        seen = 0
+        for batch in self.val_loader:
+            dev = self._put(batch)
+            losses.append(float(self._eval_loss(self.state.params, dev, self._next_key())))
+            if generate:
+                target_depth = batch["target"].shape[1]
+                gen = self.model.generate(
+                    self.state.params,
+                    dev["input"],
+                    self._next_key(),
+                    "ddim",
+                    num_inference_steps=20,
+                    target_depth=target_depth,
+                )
+                m = calculate_video_metrics(
+                    from_model_range(np.asarray(gen)),
+                    from_model_range(batch["target"]),
+                )
+                psnrs.append(m["psnr"])
+                ssims.append(m["ssim"])
+            seen += batch["input"].shape[0]
+            if seen >= num_samples:
+                break
+        out = {"patch_loss": float(np.mean(losses)) if losses else float("nan")}
+        if psnrs:
+            out["patch_psnr"] = float(np.mean(psnrs))
+            out["patch_ssim"] = float(np.mean(ssims))
+        for k, v in out.items():
+            self.writer.add_scalar(f"val/{k}", v, self.global_step)
+        return out
+
+    def validate_full_volumes(self, num_samples: Optional[int] = None, steps: int = 20) -> Dict[str, float]:
+        """Tier 3: sliding-window stitched full volumes (reference :528-603)."""
+        from video_to_video_diffusion_tpu.inference.sampler import sample_with_stitching
+
+        t = self.config.training
+        d = self.config.data
+        if self.full_val_loader is None:
+            return {}
+        num_samples = num_samples or t.full_val_samples
+        ratio = d.patch_depth_thin // d.patch_depth_thick
+        psnrs, ssims = [], []
+        seen = 0
+        gen_patch = jax.jit(
+            lambda v, k: self.model.generate(
+                self.state.params, v, k, "ddim", steps,
+                target_depth=v.shape[1] * ratio,
+            )
+        )
+        for batch in self.full_val_loader:
+            for b in range(batch["input"].shape[0]):
+                thick = jnp.asarray(batch["input"][b : b + 1])
+                n_thick = int(batch["thick_mask"][b].sum()) if "thick_mask" in batch else thick.shape[1]
+                n_thin = int(batch["thin_mask"][b].sum()) if "thin_mask" in batch else batch["target"].shape[1]
+                thick = thick[:, :n_thick]
+                out = sample_with_stitching(
+                    gen_patch,
+                    thick,
+                    self._next_key(),
+                    patch_size=(d.patch_depth_thick, *d.patch_size),
+                    target_patch_size=(d.patch_depth_thin, *d.patch_size),
+                    stride=(
+                        max(d.patch_depth_thick // 2, 1),
+                        d.patch_size[0] // 2,
+                        d.patch_size[1] // 2,
+                    ),
+                )
+                target = batch["target"][b : b + 1, : out.shape[1]]
+                n = min(n_thin, out.shape[1])
+                m = calculate_video_metrics(
+                    from_model_range(np.asarray(out[:, :n])),
+                    from_model_range(target[:, :n]),
+                )
+                psnrs.append(m["psnr"])
+                ssims.append(m["ssim"])
+                seen += 1
+                if seen >= num_samples:
+                    break
+            if seen >= num_samples:
+                break
+        out = {}
+        if psnrs:
+            out = {"full_psnr": float(np.mean(psnrs)), "full_ssim": float(np.mean(ssims))}
+            for k, v in out.items():
+                self.writer.add_scalar(f"val/{k}", v, self.global_step)
+        return out
+
+    def final_validate(self) -> Dict[str, float]:
+        """End-of-training comprehensive validation (reference :605-691)."""
+        out = self.validate_patches(num_samples=10 ** 9, generate=True)
+        out = {f"final_{k}": v for k, v in out.items()}
+        for k, v in out.items():
+            self.writer.add_scalar(f"val/{k}", v, self.global_step)
+        return out
+
+    # ----------------------------------------------------------- checkpoints
+    def _ckpt_state(self):
+        return {"params": self.state.params, "opt_state": self.state.opt_state}
+
+    def _metadata(self):
+        return {
+            "epoch": self.epoch,
+            "global_step": self.global_step,
+            "micro_step": int(self.state.step),
+            "best_loss": self.best_loss,
+            "current_phase": self.current_phase,
+            "config": self.config.to_dict(),
+        }
+
+    def save_checkpoint(self, name: str) -> str:
+        path = os.path.join(self.ckpt_dir, name)
+        save_checkpoint(path, self._ckpt_state(), self._metadata())
+        self.logger.info("checkpoint saved: %s", path)
+        return path
+
+    def maybe_save_best(self, val_loss: float) -> None:
+        """Best-checkpoint replace policy (reference trainer.py:757-771)."""
+        if not np.isfinite(val_loss) or val_loss >= self.best_loss:
+            return
+        self.best_loss = val_loss
+        new_path = self.save_checkpoint(
+            f"checkpoint_best_epoch_{self.epoch:04d}{self.suffix}"
+        )
+        if self.best_ckpt_path and self.best_ckpt_path != new_path:
+            shutil.rmtree(self.best_ckpt_path, ignore_errors=True)
+        self.best_ckpt_path = new_path
+
+    def load_checkpoint(self, path: str) -> None:
+        """Resume params/opt_state/counters (reference trainer.py:809-912)."""
+        target = self._ckpt_state()
+        restored, meta = load_checkpoint(path, target=jax.device_get(target))
+        self.state = TrainState(
+            step=jnp.asarray(meta.get("micro_step", 0), jnp.int32),
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+        )
+        if self.mesh is not None:
+            self.state = self.state.replace(
+                params=shard_params(self.state.params, self.mesh)
+            )
+        self.epoch = int(meta.get("epoch", 0)) + 1
+        self.global_step = int(meta.get("global_step", 0))
+        self.best_loss = float(meta.get("best_loss", float("inf")))
+        self.current_phase = int(meta.get("current_phase", 1))
+        self.best_ckpt_path = path if "best" in os.path.basename(path) else None
+        self.logger.info(
+            "resumed from %s at epoch %d (step %d)", path, self.epoch, self.global_step
+        )
+
+    # ------------------------------------------------------------------ run
+    def train(self) -> Dict[str, float]:
+        t = self.config.training
+        t_start = time.time()
+        last: Dict[str, float] = {}
+        for epoch in range(self.epoch, t.num_epochs):
+            self.epoch = epoch
+            if hasattr(self.train_loader, "set_epoch"):
+                self.train_loader.set_epoch(epoch)
+            stats = self.train_epoch()
+            self.logger.info(
+                "epoch %d: loss=%.5f data_t=%.1fs step_t=%.1fs",
+                epoch, stats["loss"], stats["data_time"], stats["step_time"],
+            )
+            # Tier 1 every epoch
+            self.validate_loss_only(max_batches=8)
+            # Tier 2 cadence -> best checkpoint
+            if t.patch_val_interval and (epoch + 1) % t.patch_val_interval == 0:
+                tier2 = self.validate_patches()
+                last.update(tier2)
+                if "patch_loss" in tier2:
+                    self.maybe_save_best(tier2["patch_loss"])
+            # Tier 3 cadence
+            if t.full_val_interval and (epoch + 1) % t.full_val_interval == 0:
+                last.update(self.validate_full_volumes())
+        self.save_checkpoint(f"checkpoint_final_epoch_{self.epoch:04d}{self.suffix}")
+        if t.final_val_enabled and self.val_loader is not None:
+            last.update(self.final_validate())
+        self.logger.info("training done in %.1fs", time.time() - t_start)
+        return last
