@@ -41,10 +41,14 @@ def main() -> None:
     small = os.environ.get("BENCH_SMALL") == "1"
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     patch_batch = int(os.environ.get("BENCH_PB", "25"))
-    if small:
-        from video_to_video_diffusion_tpu.utils.platform import configure_platform
+    from video_to_video_diffusion_tpu.utils.platform import (
+        configure_platform,
+        enable_compilation_cache,
+    )
 
+    if small:
         configure_platform("cpu")
+    enable_compilation_cache()
 
     from video_to_video_diffusion_tpu.config import load_config
     from video_to_video_diffusion_tpu.models.model import VideoToVideoDiffusion

@@ -56,9 +56,13 @@ def main(argv=None) -> Dict[str, float]:
     logger = setup_logger("train")
 
     cfg: Config = load_config(args.config)
-    from video_to_video_diffusion_tpu.utils.platform import configure_platform
+    from video_to_video_diffusion_tpu.utils.platform import (
+        configure_platform,
+        enable_compilation_cache,
+    )
 
     configure_platform(cfg.hardware.device)
+    enable_compilation_cache()
     model = VideoToVideoDiffusion(cfg)
 
     mesh = None

@@ -266,9 +266,13 @@ def main(argv=None) -> Dict[str, float]:
     args = parser.parse_args(argv)
 
     cfg = load_config(args.config)
-    from video_to_video_diffusion_tpu.utils.platform import configure_platform
+    from video_to_video_diffusion_tpu.utils.platform import (
+        configure_platform,
+        enable_compilation_cache,
+    )
 
     configure_platform(cfg.hardware.device)
+    enable_compilation_cache()
     trainer = VAETrainer(cfg)
     train_loader = get_unified_dataloader(cfg, "train")
     val_loader = get_unified_dataloader(cfg, "val")

@@ -10,6 +10,11 @@ from __future__ import annotations
 
 import os
 
+_DEFAULT_CACHE = os.environ.get(
+    "V2V_COMPILATION_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"),
+)
+
 
 def configure_platform(device: str) -> None:
     device = (device or "").lower()
@@ -19,3 +24,15 @@ def configure_platform(device: str) -> None:
         os.environ["JAX_PLATFORMS"] = "cpu"
         jax.config.update("jax_platforms", "cpu")
     # 'tpu'/'auto'/anything else: leave the default platform resolution alone.
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> None:
+    """Persistent XLA compilation cache — TPU compiles of the medium UNet
+    take minutes; caching makes every subsequent process start instant."""
+    import jax
+
+    cache_dir = cache_dir or _DEFAULT_CACHE
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
