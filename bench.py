@@ -40,7 +40,10 @@ BASELINE_FULL_VOLUME_S = A100_SECONDS_PER_PATCH_50STEP * GRID_PATCHES  # 750 s
 def main() -> None:
     small = os.environ.get("BENCH_SMALL") == "1"
     steps = int(os.environ.get("BENCH_STEPS", "50"))
-    patch_batch = int(os.environ.get("BENCH_PB", "25"))
+    # patch batch: VAE-decoder activations at full 48x192x192 resolution are
+    # ~450 MB/sample, so 5 patches/chunk keeps peak HBM well under 16 GB on
+    # v5e while still batching the UNet scan.
+    patch_batch = int(os.environ.get("BENCH_PB", "5"))
     from video_to_video_diffusion_tpu.utils.platform import (
         configure_platform,
         enable_compilation_cache,

@@ -103,6 +103,55 @@ class Trainer:
         self.best_loss = float("inf")
         self.best_ckpt_path: Optional[str] = None
         self.current_phase = 1
+        self._gen_cache = {}
+
+    def _jitted_generate(self, steps: int, target_depth: int):
+        """Cache one jitted generate per (steps, target_depth)."""
+        key = (steps, target_depth)
+        if key not in self._gen_cache:
+            self._gen_cache[key] = jax.jit(
+                lambda p, v, k: self.model.generate(
+                    p, v, k, "ddim", steps, target_depth=target_depth
+                )
+            )
+        return self._gen_cache[key]
+
+    # ------------------------------------------------------------ two-phase
+    def set_phase(self, phase: int) -> None:
+        """Two-phase training transition (reference trainer.py:717-732).
+
+        Phase 1 trains with the VAE frozen; phase 2 unfreezes it at
+        `pretrained.phase1_epochs`. Because freezing lives in the optimizer
+        here, the transition rebuilds the optimizer (fresh moments for the
+        newly-unfrozen VAE groups) and re-jits the train step.
+        """
+        if phase == self.current_phase:
+            return
+        self.current_phase = phase
+        p = self.config.pretrained
+        mults = (
+            {"vae_encoder": p.lr_mult_vae_encoder, "vae_decoder": p.lr_mult_vae_decoder, "unet": p.lr_mult_unet}
+            if phase == 1
+            else {"vae_encoder": 1.0, "vae_decoder": 1.0, "unet": 1.0}
+        )
+        t = self.config.training
+        steps_per_epoch = max(len(self.train_loader), 1)
+        total = max(
+            t.num_epochs * steps_per_epoch // max(t.gradient_accumulation_steps, 1), 1
+        )
+        self.tx, self.lr_schedule = make_optimizer(
+            self.config, self.state.params, total, steps_per_epoch, lr_multipliers=mults
+        )
+        self.state = create_train_state(self.state.params, self.tx)
+        model = self.model
+
+        def loss_fn(pp, batch, key):
+            return model.loss_fn(
+                pp, batch["input"], batch["target"], key, mask=batch.get("thin_mask")
+            )
+
+        self._train_step = jax.jit(make_train_step(loss_fn, self.tx))
+        self.logger.info("entered training phase %d (lr multipliers %s)", phase, mults)
 
     # ----------------------------------------------------------------- utils
     def _put(self, batch: Dict) -> Dict:
@@ -180,13 +229,8 @@ class Trainer:
             losses.append(float(self._eval_loss(self.state.params, dev, self._next_key())))
             if generate:
                 target_depth = batch["target"].shape[1]
-                gen = self.model.generate(
-                    self.state.params,
-                    dev["input"],
-                    self._next_key(),
-                    "ddim",
-                    num_inference_steps=20,
-                    target_depth=target_depth,
+                gen = self._jitted_generate(20, target_depth)(
+                    self.state.params, dev["input"], self._next_key()
                 )
                 m = calculate_video_metrics(
                     from_model_range(np.asarray(gen)),
@@ -302,7 +346,21 @@ class Trainer:
         self.best_ckpt_path = new_path
 
     def load_checkpoint(self, path: str) -> None:
-        """Resume params/opt_state/counters (reference trainer.py:809-912)."""
+        """Resume params/opt_state/counters (reference trainer.py:809-912).
+
+        Phase-aware: a phase-2 checkpoint's opt_state has live moments for
+        the VAE groups, so the optimizer is rebuilt for phase 2 *before*
+        restoring (the reference analogously re-freezes/unfreezes the VAE on
+        resume, trainer.py:884-902).
+        """
+        import json as _json
+
+        meta_path = os.path.join(path, "v2v_metadata.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                saved_phase = int(_json.load(f).get("current_phase", 1))
+            if saved_phase != self.current_phase:
+                self.set_phase(saved_phase)
         target = self._ckpt_state()
         restored, meta = load_checkpoint(path, target=jax.device_get(target))
         self.state = TrainState(
@@ -328,8 +386,11 @@ class Trainer:
         t = self.config.training
         t_start = time.time()
         last: Dict[str, float] = {}
+        p = self.config.pretrained
         for epoch in range(self.epoch, t.num_epochs):
             self.epoch = epoch
+            if p.two_phase_training and epoch >= p.phase1_epochs:
+                self.set_phase(2)
             if hasattr(self.train_loader, "set_epoch"):
                 self.train_loader.set_epoch(epoch)
             stats = self.train_epoch()
