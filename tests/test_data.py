@@ -183,3 +183,14 @@ def test_dataloader_rejects_unknown_source(tmp_path):
     base["data"]["data_source"] = "imagenet"
     with pytest.raises(ValueError):
         get_unified_dataloader(load_config(base), "train")
+
+
+def test_corrupted_cache_retry_chain(tmp_path):
+    """Corrupted .npz falls through to the next sample (reference :626-680)."""
+    cfg = _cfg(tmp_path, use_patches=False)
+    ds = SliceInterpolationDataset(cfg, "train")
+    # corrupt the first file in this split
+    with open(ds.files[0], "wb") as f:
+        f.write(b"not a zip")
+    s = ds[0]
+    assert np.isfinite(s["input"]).all()  # served from a neighboring sample

@@ -251,6 +251,11 @@ class DDIMSampler:
         fn = conditioning_eps_fn or self.eps_fn
         return ddim_sample(fn, self.schedule, key, shape, num_inference_steps, eta)
 
+    def sample_with_stitching(self, generate_patch_batch, v_thick_full, key, **kw):
+        """Sliding-window full-volume variant (reference :339-453); takes the
+        jitted per-patch-batch generator (encode->DDIM->decode)."""
+        return sample_with_stitching(generate_patch_batch, v_thick_full, key, **kw)
+
 
 class DDPMSampler:
     """API-parity wrapper over the functional DDPM core (reference :17-198)."""
@@ -263,3 +268,15 @@ class DDPMSampler:
     def sample(self, shape, conditioning_eps_fn: Optional[EpsFn] = None, *, key: jax.Array):
         fn = conditioning_eps_fn or self.eps_fn
         return ddpm_sample(fn, self.schedule, key, shape)
+
+    def sample_with_stitching(self, generate_patch_batch, v_thick_full, key, **kw):
+        """Sliding-window full-volume variant (reference :64-172)."""
+        return sample_with_stitching(generate_patch_batch, v_thick_full, key, **kw)
+
+
+class EDMSampler:
+    """EDM sampler — declared-but-unimplemented in the reference too
+    (inference/sampler.py:482-493); kept for API parity / future work."""
+
+    def __init__(self, schedule: DiffusionSchedule, eps_fn: EpsFn):
+        raise NotImplementedError("EDM sampler not yet implemented")
