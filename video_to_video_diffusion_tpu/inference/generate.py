@@ -23,6 +23,19 @@ from video_to_video_diffusion_tpu.inference.sampler import ddim_sample
 from video_to_video_diffusion_tpu.models.model import VideoToVideoDiffusion
 from video_to_video_diffusion_tpu.utils.metrics import calculate_video_metrics
 
+_GEN_CACHE = {}
+
+
+def _jitted_generate(model, sampler, steps, target_depth):
+    """One jitted generate per (model, sampler, steps, depth) — eager
+    generate would dispatch each op separately on remote TPU backends."""
+    key = (id(model), sampler, steps, target_depth)
+    if key not in _GEN_CACHE:
+        _GEN_CACHE[key] = jax.jit(
+            lambda p, v, k: model.generate(p, v, k, sampler, steps, target_depth)
+        )
+    return _GEN_CACHE[key]
+
 
 def generate_video(
     model: VideoToVideoDiffusion,
@@ -39,8 +52,8 @@ def generate_video(
     key = key if key is not None else jax.random.PRNGKey(0)
     frames = load_video(input_path)
     v_in = VideoTransform(size)(frames)[None]  # (1, D, h, w, C)
-    out = model.generate(
-        params, jnp.asarray(v_in), key, sampler, num_inference_steps, target_depth
+    out = _jitted_generate(model, sampler, num_inference_steps, target_depth)(
+        params, jnp.asarray(v_in), key
     )
     out_np = np.asarray(out)
     if output_path:
@@ -61,8 +74,8 @@ def generate_batch(
     """Batched generation (+ metrics vs optional targets). Reference :98-155."""
     key = key if key is not None else jax.random.PRNGKey(0)
     out = np.asarray(
-        model.generate(
-            params, jnp.asarray(inputs), key, sampler, num_inference_steps, target_depth
+        _jitted_generate(model, sampler, num_inference_steps, target_depth)(
+            params, jnp.asarray(inputs), key
         )
     )
     result = {"videos": out}

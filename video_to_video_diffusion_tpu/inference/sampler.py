@@ -200,41 +200,54 @@ def sample_with_stitching(
     w_patch = gaussian_weight_3d(td, th, tw)[None, :, :, :, None]  # (1,td,th,tw,1)
     thick = v_thick_full[0]  # (D, H, W, C)
 
+    acc = jnp.zeros((1, D_thin, H_full, W_full, C), jnp.float32)
+    wmap = jnp.zeros((1, D_thin, H_full, W_full, C), jnp.float32)
+    keys = jax.random.split(key, num_chunks)
+    dims = (pd, ph, pw, td, th, tw, depth_ratio)
+    for i in range(num_chunks):
+        acc, wmap = _run_chunk(
+            generate_patch_batch, dims, thick, w_patch,
+            acc, wmap, coords_arr[i], valid_arr[i], keys[i],
+        )
+    return acc / (wmap + 1e-8)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _run_chunk(generate_patch_batch, dims, thick, w_patch, acc, wmap, chunk_coords, chunk_valid, k):
+    """One batched patch-chunk: extract -> generate -> blend-accumulate.
+
+    `generate_patch_batch` and the geometry tuple are static, so repeated
+    stitching calls (e.g. per validation volume) share one compiled program.
+    """
+    pd, ph, pw, td, th, tw, depth_ratio = dims
+    C = thick.shape[-1]
+    patch_batch = chunk_coords.shape[0]
+
     def extract(coord):
         d, h, w = coord[0], coord[1], coord[2]
         return jax.lax.dynamic_slice(thick, (d, h, w, 0), (pd, ph, pw, C))
 
-    @jax.jit
-    def run_chunk(carry, chunk_coords, chunk_valid, k):
+    patches = jax.vmap(extract)(chunk_coords)  # (pb, pd, ph, pw, C)
+    thin = generate_patch_batch(patches, k)  # (pb, td, th, tw, C)
+    weighted = thin.astype(jnp.float32) * w_patch
+
+    def put(i, carry):
         acc, wmap = carry
-        patches = jax.vmap(extract)(chunk_coords)  # (pb, pd, ph, pw, C)
-        thin = generate_patch_batch(patches, k)  # (pb, td, th, tw, C)
-        weighted = thin.astype(jnp.float32) * w_patch
+        d, h, w = (
+            chunk_coords[i, 0] * depth_ratio,
+            chunk_coords[i, 1],
+            chunk_coords[i, 2],
+        )
+        vw = chunk_valid[i]
+        idx = (0, d, h, w, 0)
+        w_i = jax.lax.dynamic_slice_in_dim(weighted, i, 1, axis=0)
+        cur = jax.lax.dynamic_slice(acc, idx, (1, td, th, tw, C))
+        acc = jax.lax.dynamic_update_slice(acc, cur + vw * w_i, idx)
+        curw = jax.lax.dynamic_slice(wmap, idx, (1, td, th, tw, C))
+        wmap = jax.lax.dynamic_update_slice(wmap, curw + vw * w_patch, idx)
+        return acc, wmap
 
-        def put(i, carry):
-            acc, wmap = carry
-            d, h, w = (
-                chunk_coords[i, 0] * depth_ratio,
-                chunk_coords[i, 1],
-                chunk_coords[i, 2],
-            )
-            vw = chunk_valid[i]
-            idx = (0, d, h, w, 0)
-            w_i = jax.lax.dynamic_slice_in_dim(weighted, i, 1, axis=0)
-            cur = jax.lax.dynamic_slice(acc, idx, (1, td, th, tw, C))
-            acc = jax.lax.dynamic_update_slice(acc, cur + vw * w_i, idx)
-            curw = jax.lax.dynamic_slice(wmap, idx, (1, td, th, tw, C))
-            wmap = jax.lax.dynamic_update_slice(wmap, curw + vw * w_patch, idx)
-            return acc, wmap
-
-        return jax.lax.fori_loop(0, patch_batch, put, (acc, wmap))
-
-    acc = jnp.zeros((1, D_thin, H_full, W_full, C), jnp.float32)
-    wmap = jnp.zeros((1, D_thin, H_full, W_full, C), jnp.float32)
-    keys = jax.random.split(key, num_chunks)
-    for i in range(num_chunks):
-        acc, wmap = run_chunk((acc, wmap), coords_arr[i], valid_arr[i], keys[i])
-    return acc / (wmap + 1e-8)
+    return jax.lax.fori_loop(0, patch_batch, put, (acc, wmap))
 
 
 # ------------------------------------------------------- class-style wrappers

@@ -92,16 +92,25 @@ class VideoToVideoDiffusion:
         patch_shape: Tuple[int, int, int] = (8, 192, 192),
         batch: int = 1,
     ) -> Dict[str, Any]:
-        """Initialize {'vae', 'unet'} params with dummy NDHWC inputs."""
+        """Initialize {'vae', 'unet'} params with dummy NDHWC inputs.
+
+        Jitted internally: eager init dispatches hundreds of individual ops,
+        which is pathologically slow on remote-compile TPU backends.
+        """
         D, H, W = patch_shape
-        kv, ku = jax.random.split(key)
-        x = jnp.zeros((batch, D, H, W, self.config.model.in_channels), jnp.float32)
-        vae_params = self.vae_f32.init(kv, x)["params"]
         f = self.spatial_factor
-        z = jnp.zeros((batch, D, H // f, W // f, self.latent_dim), jnp.float32)
-        t = jnp.zeros((batch,), jnp.int32)
-        unet_params = self.unet_f32.init(ku, z, t, z)["params"]
-        return {"vae": vae_params, "unet": unet_params}
+        C = self.config.model.in_channels
+
+        def _init(key):
+            kv, ku = jax.random.split(key)
+            x = jnp.zeros((batch, D, H, W, C), jnp.float32)
+            vae_params = self.vae_f32.init(kv, x)["params"]
+            z = jnp.zeros((batch, D, H // f, W // f, self.latent_dim), jnp.float32)
+            t = jnp.zeros((batch,), jnp.int32)
+            unet_params = self.unet_f32.init(ku, z, t, z)["params"]
+            return {"vae": vae_params, "unet": unet_params}
+
+        return jax.jit(_init)(key)
 
     # ------------------------------------------------------------- sub-calls
     def encode(self, params, x, f32: bool = False):

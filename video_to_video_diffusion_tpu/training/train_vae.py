@@ -75,7 +75,7 @@ class VAETrainer:
         d = self.config.data
         self.key, k = jax.random.split(self.key)
         dummy = jnp.zeros((1, d.patch_depth_thick, *d.patch_size, m.in_channels))
-        params = self.vae_f32.init(k, dummy)["params"]
+        params = jax.jit(lambda kk: self.vae_f32.init(kk, dummy)["params"])(k)
         if mesh is not None:
             params = shard_params(params, mesh)
         self.params_template = params
