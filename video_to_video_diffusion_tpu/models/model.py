@@ -180,18 +180,26 @@ class VideoToVideoDiffusion:
         num_inference_steps: int = 20,
         target_depth: Optional[int] = None,
         eta: float = 0.0,
+        precision: str = "policy",
     ) -> jnp.ndarray:
         """Thick -> thin volume generation (reference model.py:230-343).
 
         Pure and jittable for static (sampler, steps, target_depth).
+
+        `precision`: 'policy' runs the VAE/UNet at the configured compute
+        dtype (bf16 on TPU — bf16 keeps f32's exponent range, so the
+        fp16-underflow rationale behind the reference's forced-FP32 inference
+        (model.py:254-269) doesn't apply; the sampler's z/z0 arithmetic stays
+        f32 either way). 'f32' pins the networks to f32 like the reference.
         """
         from video_to_video_diffusion_tpu.inference.sampler import (
             ddim_sample,
             ddpm_sample,
         )
 
+        f32 = precision == "f32"
         v_in = jnp.nan_to_num(v_in.astype(jnp.float32))
-        z_in = self.encode(params, v_in, f32=True)
+        z_in = self.encode(params, v_in, f32=f32).astype(jnp.float32)
         z_in = jnp.nan_to_num(z_in, posinf=1.0, neginf=-1.0)
         if target_depth is not None and target_depth != z_in.shape[1]:
             z_in = resize_trilinear(
@@ -200,7 +208,7 @@ class VideoToVideoDiffusion:
         latent_shape = z_in.shape
 
         def eps_fn(z, t):
-            return self.apply_unet(params, z, t, z_in, f32=True)
+            return self.apply_unet(params, z, t, z_in, f32=f32).astype(jnp.float32)
 
         if sampler == "ddpm":
             z0 = ddpm_sample(eps_fn, self.schedule, key, latent_shape)
@@ -211,7 +219,7 @@ class VideoToVideoDiffusion:
         else:
             raise ValueError(f"Unknown sampler: {sampler}")
         z0 = jnp.nan_to_num(z0, posinf=1.0, neginf=-1.0)
-        v_out = self.decode(params, z0, f32=True)
+        v_out = self.decode(params, z0, f32=f32).astype(jnp.float32)
         return jnp.nan_to_num(v_out, posinf=1.0, neginf=-1.0)
 
     # ------------------------------------------------------------- metadata

@@ -46,13 +46,20 @@ def group_norm(
     B = x.shape[0]
     C = x.shape[-1]
     assert C % num_groups == 0, f"channels {C} not divisible by groups {num_groups}"
-    xf = x.astype(jnp.float32)
-    grouped = xf.reshape(B, -1, num_groups, C // num_groups)
-    mean = jnp.mean(grouped, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(grouped - mean), axis=(1, 3), keepdims=True)
-    normed = (grouped - mean) * jax.lax.rsqrt(var + eps)
-    normed = normed.reshape(xf.shape)
-    out = normed * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    grouped = x.reshape(B, -1, num_groups, C // num_groups)
+    # One-pass stats in f32: the casts fuse into the reductions so no f32
+    # copy of the activation is ever materialized (a two-pass (x-mean)**2
+    # formulation at bf16 costs a full-resolution f32 temp — 4.2 GB per
+    # layer on the 48x192x192 decoder path).
+    g32 = grouped.astype(jnp.float32)
+    mean = jnp.mean(g32, axis=(1, 3), keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(g32 * g32, axis=(1, 3), keepdims=True) - mean * mean, 0.0
+    )
+    inv = jax.lax.rsqrt(var + eps)
+    normed = (grouped - mean.astype(orig_dtype)) * inv.astype(orig_dtype)
+    normed = normed.reshape(x.shape)
+    out = normed * scale.astype(orig_dtype) + bias.astype(orig_dtype)
     if activation == "silu":
         out = out * jax.nn.sigmoid(out)
     elif activation is not None:
