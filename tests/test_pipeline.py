@@ -1,0 +1,48 @@
+"""Pipelined full-volume generation tests (CPU, tiny model)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from video_to_video_diffusion_tpu.config import load_config
+from video_to_video_diffusion_tpu.inference.pipeline import generate_volume
+from video_to_video_diffusion_tpu.models.model import VideoToVideoDiffusion
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    model = VideoToVideoDiffusion("tiny_test")
+    params = model.init(jax.random.PRNGKey(0), patch_shape=(4, 32, 32), batch=1)
+    return model, params
+
+
+def test_generate_volume_shape_and_determinism(tiny):
+    model, params = tiny
+    v = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 64, 64, 1))
+    out = generate_volume(
+        model, params, v, jax.random.PRNGKey(2), num_inference_steps=3,
+        patch_size=(4, 32, 32), target_patch_size=(8, 32, 32),
+        stride=(2, 16, 16), vae_batch=4,
+    )
+    assert out.shape == (1, 8, 64, 64, 1)
+    assert np.isfinite(np.asarray(out)).all()
+    out2 = generate_volume(
+        model, params, v, jax.random.PRNGKey(2), num_inference_steps=3,
+        patch_size=(4, 32, 32), target_patch_size=(8, 32, 32),
+        stride=(2, 16, 16), vae_batch=4,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_generate_volume_vae_batch_invariance(tiny):
+    """Chunked vs unchunked encode/decode must not change the output."""
+    model, params = tiny
+    v = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 64, 64, 1))
+    kw = dict(
+        num_inference_steps=2, patch_size=(4, 32, 32),
+        target_patch_size=(8, 32, 32), stride=(2, 16, 16),
+    )
+    a = generate_volume(model, params, v, jax.random.PRNGKey(4), vae_batch=3, **kw)
+    b = generate_volume(model, params, v, jax.random.PRNGKey(4), vae_batch=9, **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

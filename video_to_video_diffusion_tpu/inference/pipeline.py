@@ -1,0 +1,166 @@
+"""Pipelined full-volume generation.
+
+`sample_with_stitching` fuses extract -> generate -> accumulate into one XLA
+program per chunk; correct, but the fused program's compile time grows with
+everything it contains (20+ min for the production config through a remote
+compiler). This module runs the same math as five small, independently
+compiled stages, each at its own optimal batch size:
+
+  1. extract: all patch crops (vmapped dynamic_slice)
+  2. encode:  thick patches -> conditioning latents (chunked; activations
+              at 192^2 are HBM-heavy)
+  3. sample:  one DDIM scan over the WHOLE patch grid (latents are tiny —
+              the big batch is what keeps the MXU fed: measured 2.3 s/patch
+              at batch 25 vs 3.3 s/patch at batch 5 on v5e)
+  4. decode:  latents -> thin patches (chunked like encode)
+  5. blend:   Gaussian-weighted scatter-add + normalize
+
+Stage compiles are shared process-wide (and across processes via the
+persistent compilation cache).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_to_video_diffusion_tpu.inference.sampler import (
+    ddim_sample,
+    gaussian_weight_3d,
+    stitch_positions,
+)
+from video_to_video_diffusion_tpu.ops.resize import resize_trilinear
+
+_STAGE_CACHE = {}
+
+
+def _cached(name, key, builder):
+    k = (name,) + key
+    if k not in _STAGE_CACHE:
+        _STAGE_CACHE[k] = builder()
+    return _STAGE_CACHE[k]
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _extract_patches(thick: jnp.ndarray, coords: jnp.ndarray, dims) -> jnp.ndarray:
+    pd, ph, pw, C = dims
+
+    def one(c):
+        return jax.lax.dynamic_slice(thick, (c[0], c[1], c[2], 0), (pd, ph, pw, C))
+
+    return jax.vmap(one)(coords)
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _blend(acc, wmap, patches, coords, dims):
+    """Gaussian-weighted scatter-add of (N, td, th, tw, C) patches."""
+    td, th, tw, C, depth_ratio = dims
+    w_patch = gaussian_weight_3d(td, th, tw)[None, :, :, :, None]
+    weighted = patches.astype(jnp.float32) * w_patch
+
+    def put(i, carry):
+        acc, wmap = carry
+        d = coords[i, 0] * depth_ratio
+        h = coords[i, 1]
+        w = coords[i, 2]
+        idx = (0, d, h, w, 0)
+        w_i = jax.lax.dynamic_slice_in_dim(weighted, i, 1, axis=0)
+        cur = jax.lax.dynamic_slice(acc, idx, (1, td, th, tw, C))
+        acc = jax.lax.dynamic_update_slice(acc, cur + w_i, idx)
+        curw = jax.lax.dynamic_slice(wmap, idx, (1, td, th, tw, C))
+        wmap = jax.lax.dynamic_update_slice(wmap, curw + w_patch, idx)
+        return acc, wmap
+
+    return jax.lax.fori_loop(0, patches.shape[0], put, (acc, wmap))
+
+
+def generate_volume(
+    model,
+    params,
+    v_thick_full: jnp.ndarray,
+    key: jax.Array,
+    num_inference_steps: int = 50,
+    patch_size: Tuple[int, int, int] = (8, 192, 192),
+    target_patch_size: Tuple[int, int, int] = (48, 192, 192),
+    stride: Tuple[int, int, int] = (4, 96, 96),
+    vae_batch: int = 5,
+    eta: float = 0.0,
+) -> jnp.ndarray:
+    """Full thick->thin volume generation, pipelined.
+
+    Args:
+      v_thick_full: (1, D_thick, H, W, C) in [-1, 1].
+      vae_batch: encode/decode chunk size (HBM bound at full resolution).
+
+    Returns (1, D_thick * ratio, H, W, C) f32.
+    """
+    assert v_thick_full.shape[0] == 1
+    _, D_thick, H_full, W_full, C = v_thick_full.shape
+    pd, ph, pw = patch_size
+    td, th, tw = target_patch_size
+    sd, sh, sw = stride
+    ratio = td // pd
+    D_thin = D_thick * ratio
+
+    coords_list = [
+        (d, h, w)
+        for d in stitch_positions(D_thick, pd, sd)
+        for h in stitch_positions(H_full, ph, sh)
+        for w in stitch_positions(W_full, pw, sw)
+    ]
+    N = len(coords_list)
+    # pad N to a multiple of vae_batch by repeating the last coord; padded
+    # outputs are dropped before blending so weights stay exact.
+    n_pad = (-N) % vae_batch
+    coords = jnp.asarray(coords_list + [coords_list[-1]] * n_pad, jnp.int32)
+    Np = N + n_pad
+
+    patches = _extract_patches(v_thick_full[0], coords, (pd, ph, pw, C))
+
+    # ---- encode (chunked) ----
+    enc = _cached(
+        "encode", (id(model), vae_batch, pd, ph, pw, C),
+        lambda: jax.jit(lambda p, v: model.encode(p, v).astype(jnp.float32)),
+    )
+    z_chunks = [
+        enc(params, patches[i : i + vae_batch]) for i in range(0, Np, vae_batch)
+    ]
+    z_in = jnp.concatenate(z_chunks, axis=0)
+    z_in = jnp.nan_to_num(z_in, posinf=1.0, neginf=-1.0)
+    if ratio != 1:
+        z_in = resize_trilinear(z_in, (z_in.shape[1] * ratio, z_in.shape[2], z_in.shape[3]))
+
+    # ---- batched DDIM over the whole grid ----
+    def _sample(p, z_c, k):
+        def eps(z, t):
+            return model.apply_unet(p, z, t, z_c).astype(jnp.float32)
+
+        return ddim_sample(eps, model.schedule, k, z_c.shape, num_inference_steps, eta)
+
+    sample = _cached(
+        "ddim", (id(model), num_inference_steps, eta, Np) + tuple(z_in.shape[1:]),
+        lambda: jax.jit(_sample),
+    )
+    z0 = sample(params, z_in, key)
+    z0 = jnp.clip(jnp.nan_to_num(z0, posinf=1.0, neginf=-1.0), -10.0, 10.0)
+
+    # ---- decode (chunked) ----
+    dec = _cached(
+        "decode", (id(model), vae_batch) + tuple(z0.shape[1:]),
+        lambda: jax.jit(lambda p, z: model.decode(p, z).astype(jnp.float32)),
+    )
+    thin_chunks = [
+        dec(params, z0[i : i + vae_batch]) for i in range(0, Np, vae_batch)
+    ]
+    thin = jnp.concatenate(thin_chunks, axis=0)[:N]
+    thin = jnp.nan_to_num(thin, posinf=1.0, neginf=-1.0)
+
+    # ---- blend ----
+    acc = jnp.zeros((1, D_thin, H_full, W_full, C), jnp.float32)
+    wmap = jnp.zeros((1, D_thin, H_full, W_full, C), jnp.float32)
+    acc, wmap = _blend(acc, wmap, thin, coords[:N], (td, th, tw, C, ratio))
+    return acc / (wmap + 1e-8)

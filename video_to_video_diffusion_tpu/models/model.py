@@ -181,6 +181,7 @@ class VideoToVideoDiffusion:
         target_depth: Optional[int] = None,
         eta: float = 0.0,
         precision: str = "policy",
+        decode_chunk: Optional[int] = None,
     ) -> jnp.ndarray:
         """Thick -> thin volume generation (reference model.py:230-343).
 
@@ -191,6 +192,11 @@ class VideoToVideoDiffusion:
         fp16-underflow rationale behind the reference's forced-FP32 inference
         (model.py:254-269) doesn't apply; the sampler's z/z0 arithmetic stays
         f32 either way). 'f32' pins the networks to f32 like the reference.
+
+        `decode_chunk`: decode the final latents `decode_chunk` samples at a
+        time via lax.map. The denoising loop runs on small latents and wants
+        large batches for MXU utilization, while the decoder's full-res
+        activations are HBM-bound — chunking decouples the two batch sizes.
         """
         from video_to_video_diffusion_tpu.inference.sampler import (
             ddim_sample,
@@ -219,7 +225,13 @@ class VideoToVideoDiffusion:
         else:
             raise ValueError(f"Unknown sampler: {sampler}")
         z0 = jnp.nan_to_num(z0, posinf=1.0, neginf=-1.0)
-        v_out = self.decode(params, z0, f32=f32).astype(jnp.float32)
+        B = z0.shape[0]
+        if decode_chunk and decode_chunk < B and B % decode_chunk == 0:
+            groups = z0.reshape(B // decode_chunk, decode_chunk, *z0.shape[1:])
+            v_out = jax.lax.map(lambda zc: self.decode(params, zc, f32=f32), groups)
+            v_out = v_out.reshape(B, *v_out.shape[2:]).astype(jnp.float32)
+        else:
+            v_out = self.decode(params, z0, f32=f32).astype(jnp.float32)
         return jnp.nan_to_num(v_out, posinf=1.0, neginf=-1.0)
 
     # ------------------------------------------------------------- metadata
