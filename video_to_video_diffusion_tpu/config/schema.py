@@ -124,6 +124,7 @@ class DataConfig:
     patch_depth_thin: int = 48
     patch_depth_thick: int = 8
     patch_size: Tuple[int, int] = (192, 192)
+    patches_per_volume: int = 1  # random patches drawn per volume per epoch
     augment: bool = True
     window_center: float = 40.0
     window_width: float = 400.0
@@ -138,6 +139,9 @@ class DataConfig:
     # synthetic data (framework addition: lets every pipeline stage run
     # without the 50 GB APE download; tests and benchmarks use it)
     synthetic_num_patients: int = 0
+    synthetic_thin_depth: int = 60
+    synthetic_height: int = 96
+    synthetic_width: int = 96
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "DataConfig":
@@ -151,6 +155,7 @@ class DataConfig:
             patch_depth_thin=int(_pick(d, "patch_depth_thin", default=48)),
             patch_depth_thick=int(_pick(d, "patch_depth_thick", default=8)),
             patch_size=tuple(_pick(d, "patch_size", default=(192, 192))),
+            patches_per_volume=int(_pick(d, "patches_per_volume", default=1)),
             augment=bool(_pick(d, "augment", default=True)),
             window_center=float(_pick(d, "window_center", default=40.0)),
             window_width=float(_pick(d, "window_width", default=400.0)),
@@ -163,6 +168,9 @@ class DataConfig:
             max_train_samples=_pick(d, "max_train_samples"),
             target_size=tuple(_pick(d, "target_size", default=(512, 512))),
             synthetic_num_patients=int(_pick(d, "synthetic_num_patients", default=0)),
+            synthetic_thin_depth=int(_pick(d, "synthetic_thin_depth", default=60)),
+            synthetic_height=int(_pick(d, "synthetic_height", default=96)),
+            synthetic_width=int(_pick(d, "synthetic_width", default=96)),
         )
 
 

@@ -204,6 +204,9 @@ class SliceInterpolationDataset:
         if self.cfg.synthetic_num_patients and self.cfg.processed_dir:
             files = ensure_synthetic_cache(
                 self.cfg.processed_dir, self.cfg.synthetic_num_patients,
+                thin_depth=self.cfg.synthetic_thin_depth,
+                height=self.cfg.synthetic_height,
+                width=self.cfg.synthetic_width,
                 seed=self.cfg.seed,
             )
         else:
@@ -288,7 +291,7 @@ class PatchSliceInterpolationDataset:
         self.base = SliceInterpolationDataset(cfg, split)
         self.split = split
         self.augment = self.cfg.augment and split == "train"
-        n = len(self.base)
+        n = len(self.base) * max(self.cfg.patches_per_volume, 1)
         if split == "train" and self.cfg.max_train_samples:
             n = min(n, self.cfg.max_train_samples)
         self._len = n

@@ -38,19 +38,21 @@ class VideoEncoder(nn.Module):
     latent_dim: int = 4
     base_channels: int = 64
     num_down_stages: int = 2
+    use_checkpoint: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        Res = nn.remat(ResBlock3D) if self.use_checkpoint else ResBlock3D
         ch = self.base_channels
         h = Conv3DBlock(ch, dtype=self.dtype, name="conv_in")(x)
         for i in range(self.num_down_stages):
-            h = ResBlock3D(ch, dtype=self.dtype, name=f"down{i+1}_res1")(h)
-            h = ResBlock3D(ch, dtype=self.dtype, name=f"down{i+1}_res2")(h)
+            h = Res(ch, dtype=self.dtype, name=f"down{i+1}_res1")(h)
+            h = Res(ch, dtype=self.dtype, name=f"down{i+1}_res2")(h)
             ch *= 2
             h = DownsampleBlock(ch, dtype=self.dtype, name=f"down{i+1}_ds")(h)
-        h = ResBlock3D(ch, dtype=self.dtype, name="mid_res1")(h)
-        h = ResBlock3D(ch, dtype=self.dtype, name="mid_res2")(h)
+        h = Res(ch, dtype=self.dtype, name="mid_res1")(h)
+        h = Res(ch, dtype=self.dtype, name="mid_res2")(h)
         # SD-VAE-style head: 8ch bottleneck then 1x1x1 quant conv (vae.py:132-137)
         h = Conv3D(8, 3, 1, 1, dtype=self.dtype, name="conv_out")(h)
         z = Conv3D(self.latent_dim, 1, 1, 0, dtype=self.dtype, name="quant_conv")(h)
@@ -63,20 +65,22 @@ class VideoDecoder(nn.Module):
     out_channels: int = 1
     base_channels: int = 64
     num_up_stages: int = 2
+    use_checkpoint: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        Res = nn.remat(ResBlock3D) if self.use_checkpoint else ResBlock3D
         ch = self.base_channels * (2 ** self.num_up_stages)
         h = Conv3D(8, 1, 1, 0, dtype=self.dtype, name="post_quant_conv")(z)
         h = Conv3DBlock(ch, dtype=self.dtype, name="conv_in")(h)
-        h = ResBlock3D(ch, dtype=self.dtype, name="mid_res1")(h)
-        h = ResBlock3D(ch, dtype=self.dtype, name="mid_res2")(h)
+        h = Res(ch, dtype=self.dtype, name="mid_res1")(h)
+        h = Res(ch, dtype=self.dtype, name="mid_res2")(h)
         for i in range(self.num_up_stages):
             ch //= 2
             h = UpsampleBlock(ch, dtype=self.dtype, name=f"up{i+1}_us")(h)
-            h = ResBlock3D(ch, dtype=self.dtype, name=f"up{i+1}_res1")(h)
-            h = ResBlock3D(ch, dtype=self.dtype, name=f"up{i+1}_res2")(h)
+            h = Res(ch, dtype=self.dtype, name=f"up{i+1}_res1")(h)
+            h = Res(ch, dtype=self.dtype, name=f"up{i+1}_res2")(h)
         h = Conv3D(self.out_channels, 3, 1, 1, dtype=self.dtype, name="conv_out")(h)
         # Bound to [-1, 1] in f32 (vae.py:203)
         return jnp.tanh(h.astype(jnp.float32)).astype(h.dtype)
@@ -90,6 +94,7 @@ class SliceInterpolationVAE(nn.Module):
     base_channels: int = 128
     scaling_factor: float = 1.0
     num_down_stages: int = 2
+    use_checkpoint: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -97,12 +102,14 @@ class SliceInterpolationVAE(nn.Module):
             latent_dim=self.latent_dim,
             base_channels=self.base_channels,
             num_down_stages=self.num_down_stages,
+            use_checkpoint=self.use_checkpoint,
             dtype=self.dtype,
         )
         self.decoder = VideoDecoder(
             out_channels=self.in_channels,
             base_channels=self.base_channels,
             num_up_stages=self.num_down_stages,
+            use_checkpoint=self.use_checkpoint,
             dtype=self.dtype,
         )
 

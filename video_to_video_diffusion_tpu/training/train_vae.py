@@ -56,6 +56,7 @@ class VAETrainer:
                 base_channels=m.vae_base_channels,
                 scaling_factor=m.vae_scaling_factor,
                 num_down_stages=m.vae_num_down_stages,
+                use_checkpoint=self.config.hardware.gradient_checkpointing,
                 dtype=dtype,
             )
 
@@ -102,6 +103,10 @@ class VAETrainer:
             optax.clip_by_global_norm(t.max_grad_norm),
             optax.adamw(self.lr_schedule, weight_decay=t.weight_decay),
         )
+        if t.gradient_accumulation_steps > 1:
+            self._tx = optax.MultiSteps(
+                self._tx, every_k_schedule=t.gradient_accumulation_steps
+            )
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=self.params_template,
@@ -113,21 +118,27 @@ class VAETrainer:
         def train_step(state: TrainState, x: jnp.ndarray):
             def loss_fn(p):
                 recon, _z = vae.apply({"params": p}, x)
-                return criterion(recon, x, state.step)
+                loss, aux = criterion(recon, x, state.step)
+                return loss, (aux, recon)
 
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            (loss, (aux, recon)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             aux = dict(aux)
             aux["grad_norm"] = optax.global_norm(grads)
-            # per-batch PSNR on [0,1] (reference train_vae.py:349-354)
-            recon, _ = vae.apply({"params": params}, x)
+            # per-batch PSNR on [0,1] (reference train_vae.py:349-354), from
+            # the training-forward recon — a second forward would double the
+            # activation footprint.
             aux["psnr"] = psnr(
                 from_model_range(recon.astype(jnp.float32)), from_model_range(x)
             )
             return TrainState(step=state.step + 1, params=params, opt_state=opt_state), aux
 
-        self._train_step = jax.jit(train_step)
+        # donate the state so params/opt-state update in place (saves ~1 GB
+        # of transient HBM at 90M params)
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
         vf32 = self.vae_f32
         self._reconstruct = jax.jit(lambda p, x: vf32.apply({"params": p}, x)[0])
 

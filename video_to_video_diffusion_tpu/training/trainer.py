@@ -93,7 +93,7 @@ class Trainer:
                 p, batch["input"], batch["target"], key, mask=batch.get("thin_mask")
             )
 
-        self._train_step = jax.jit(make_train_step(loss_fn, self.tx))
+        self._train_step = jax.jit(make_train_step(loss_fn, self.tx), donate_argnums=(0,))
         self._eval_loss = jax.jit(
             lambda p, batch, key: loss_fn(p, batch, key)[0]
         )
@@ -150,7 +150,7 @@ class Trainer:
                 pp, batch["input"], batch["target"], key, mask=batch.get("thin_mask")
             )
 
-        self._train_step = jax.jit(make_train_step(loss_fn, self.tx))
+        self._train_step = jax.jit(make_train_step(loss_fn, self.tx), donate_argnums=(0,))
         self.logger.info("entered training phase %d (lr multipliers %s)", phase, mults)
 
     # ----------------------------------------------------------------- utils
