@@ -204,6 +204,7 @@ class TrainingConfig:
     checkpoint_dir: str = "checkpoints"
     experiment_name: str = "experiment"
     keep_last_n_checkpoints: int = 3
+    checkpoint_every_n_epochs: int = 1  # epoch-checkpoint cadence (best is always saved)
     # VAE-trainer specific (reference: training/train_vae.py)
     thick_slice_ratio: float = 0.2
     use_lpips: bool = False

@@ -208,15 +208,22 @@ class VAETrainer:
         }
 
     def save_epoch_checkpoint(self, is_best: bool) -> None:
-        """vae_epoch_* + vae_best, keep-last-N pruning (reference :454-487)."""
+        """vae_epoch_* + vae_best, keep-last-N pruning (reference :454-487).
+
+        Epoch checkpoints honor checkpoint_every_n_epochs (each save is a
+        full device_get of params+opt_state — minutes over a remote-TPU
+        tunnel); the best checkpoint is always written when it improves.
+        """
         t = self.config.training
-        name = f"vae_epoch_{self.epoch:04d}{self.suffix}"
-        path = os.path.join(self.ckpt_dir, name)
-        save_checkpoint(path, {"params": self.state.params, "opt_state": self.state.opt_state}, self._metadata())
-        self.saved_epochs.append(path)
-        while len(self.saved_epochs) > t.keep_last_n_checkpoints:
-            old = self.saved_epochs.pop(0)
-            shutil.rmtree(old, ignore_errors=True)
+        every = max(t.checkpoint_every_n_epochs, 1)
+        if (self.epoch + 1) % every == 0 or self.epoch + 1 == t.num_epochs:
+            name = f"vae_epoch_{self.epoch:04d}{self.suffix}"
+            path = os.path.join(self.ckpt_dir, name)
+            save_checkpoint(path, {"params": self.state.params, "opt_state": self.state.opt_state}, self._metadata())
+            self.saved_epochs.append(path)
+            while len(self.saved_epochs) > t.keep_last_n_checkpoints:
+                old = self.saved_epochs.pop(0)
+                shutil.rmtree(old, ignore_errors=True)
         if is_best:
             best = os.path.join(self.ckpt_dir, f"vae_best{self.suffix}")
             save_checkpoint(best, {"params": self.state.params, "opt_state": self.state.opt_state}, self._metadata())
