@@ -158,3 +158,26 @@ def get_dataloader(config, split: str = "train") -> DataLoader:
 
 # exported alias matching the reference (data/__init__.py:3)
 get_unified_dataloader = get_dataloader
+
+
+def create_training_config(
+    processed_dir: str,
+    batch_size: int = 8,
+    patch_size=(192, 192),
+    patch_depth_thick: int = 8,
+    patch_depth_thin: int = 48,
+    **overrides,
+) -> Config:
+    """Convenience config factory (reference data/get_dataloader.py:164)."""
+    raw = {
+        "data": {
+            "processed_dir": processed_dir,
+            "use_patches": True,
+            "batch_size": batch_size,
+            "patch_size": list(patch_size),
+            "patch_depth_thick": patch_depth_thick,
+            "patch_depth_thin": patch_depth_thin,
+            **overrides,
+        }
+    }
+    return load_config(raw)

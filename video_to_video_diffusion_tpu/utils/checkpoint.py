@@ -101,6 +101,18 @@ def find_latest_checkpoint(checkpoint_dir: str, suffix: str = "") -> Optional[st
     return max(candidates)[1] if candidates else None
 
 
+def load_model_from_checkpoint(path: str, target: Any = None) -> Tuple[Any, Dict]:
+    """Format-sniffing param loader (reference utils/checkpoint.py:126-180).
+
+    Accepts a VAE-trainer checkpoint ({'params': <vae tree>}), a full
+    diffusion checkpoint ({'params': {'vae', 'unet'}}) or a bare param tree;
+    returns (params, metadata).
+    """
+    restored, meta = load_checkpoint(path, target=target)
+    params = restored.get("params", restored) if isinstance(restored, dict) else restored
+    return params, meta
+
+
 def extract_model_suffix_from_path(path: str) -> str:
     """Recover the model_suffix embedded in a checkpoint name (reference :182-211)."""
     name = os.path.basename(os.path.normpath(path))
