@@ -165,7 +165,9 @@ class VAETrainer:
         for i, batch in enumerate(train_loader):
             x = self._put(self._pick_volume(batch, rng))
             self.state, aux = self._train_step(self.state, x)
-            self.global_step = int(self.state.step)
+            # host-side counter: reading state.step would force a device
+            # sync every step and stall the dispatch pipeline
+            self.global_step += 1
             losses.append(float(aux["total"]))
             psnrs.append(float(aux["psnr"]))
             if self.config.training.log_interval and i % self.config.training.log_interval == 0:

@@ -100,6 +100,7 @@ class Trainer:
 
         self.epoch = 0
         self.global_step = 0  # optimizer steps (post-accumulation)
+        self._micro_step = 0
         self.best_loss = float("inf")
         self.best_ckpt_path: Optional[str] = None
         self.current_phase = 1
@@ -179,8 +180,10 @@ class Trainer:
             loss = float(metrics["loss"])
             step_time += time.time() - t0
             losses.append(loss)
-            micro = int(self.state.step)
-            self.global_step = micro // accum
+            # host-side micro-step counter (reading state.step would force a
+            # device sync per step)
+            self._micro_step += 1
+            self.global_step = self._micro_step // accum
             if t.log_interval and (i % t.log_interval == 0):
                 lr = float(self.lr_schedule(self.global_step))
                 self.writer.add_scalar("train/loss", loss, self.global_step)
@@ -321,7 +324,7 @@ class Trainer:
         return {
             "epoch": self.epoch,
             "global_step": self.global_step,
-            "micro_step": int(self.state.step),
+            "micro_step": self._micro_step,
             "best_loss": self.best_loss,
             "current_phase": self.current_phase,
             "config": self.config.to_dict(),
@@ -374,6 +377,7 @@ class Trainer:
             )
         self.epoch = int(meta.get("epoch", 0)) + 1
         self.global_step = int(meta.get("global_step", 0))
+        self._micro_step = int(meta.get("micro_step", 0))
         self.best_loss = float(meta.get("best_loss", float("inf")))
         self.current_phase = int(meta.get("current_phase", 1))
         self.best_ckpt_path = path if "best" in os.path.basename(path) else None
