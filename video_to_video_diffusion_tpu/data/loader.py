@@ -103,22 +103,39 @@ class DataLoader:
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         _SENTINEL = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for b in self._iter_batches(epoch):
-                    q.put(b)
+                    if not _put(b):
+                        return
             finally:
-                q.put(_SENTINEL)
+                _put(_SENTINEL)
 
         th = threading.Thread(target=producer, daemon=True)
         th.start()
-        while True:
-            b = q.get()
-            if b is _SENTINEL:
-                break
-            yield b
-        th.join()
+        try:
+            while True:
+                b = q.get()
+                if b is _SENTINEL:
+                    break
+                yield b
+        finally:
+            # Abandoned iterators (early validation breaks, exceptions) must
+            # release the producer, or each leak leaves a thread blocked on a
+            # full queue forever.
+            stop.set()
+            th.join(timeout=5)
 
 
 def get_dataloader(config, split: str = "train") -> DataLoader:
