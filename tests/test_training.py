@@ -189,3 +189,27 @@ def test_vae_trainer_resume(tmp_path):
     a = jax.tree_util.tree_leaves(vt.state.params)[0]
     b = jax.tree_util.tree_leaves(vt2.state.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_extract_model_suffix():
+    from video_to_video_diffusion_tpu.utils.checkpoint import (
+        extract_model_suffix_from_path,
+    )
+
+    assert extract_model_suffix_from_path("/x/checkpoint_best_epoch_0007_slice_interp") == "slice_interp"
+    assert extract_model_suffix_from_path("/x/vae_best_custom") == "custom"
+    assert extract_model_suffix_from_path("/x/checkpoint_final_epoch_0100") == ""
+
+
+def test_load_model_from_checkpoint_formats(tmp_path):
+    from video_to_video_diffusion_tpu.utils.checkpoint import (
+        load_model_from_checkpoint,
+        save_checkpoint,
+    )
+
+    tree = {"params": {"vae": {"w": jnp.ones(3)}, "unet": {"w": jnp.zeros(2)}}}
+    p = str(tmp_path / "full_ck")
+    save_checkpoint(p, tree, {"epoch": 1})
+    params, meta = load_model_from_checkpoint(p)
+    assert set(params) == {"vae", "unet"}
+    assert meta["epoch"] == 1
