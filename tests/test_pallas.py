@@ -69,3 +69,22 @@ def test_depth_attention_pallas_matches_reference_interpret():
 def test_depth_attention_pallas_fallback_on_bad_batch():
     q = jnp.zeros((10, 2, 48, 32))  # N not divisible by TILE_N
     assert depth_attention_pallas(q, q, q, interpret=True) is None
+
+
+def test_pallas_attention_vjp_matches_reference():
+    """enable_pallas must be training-safe: grads flow via the jnp backward."""
+    import jax
+    from video_to_video_diffusion_tpu.ops import attention as attn_mod
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((16, 2, 48, 32), dtype=np.float32))
+
+    def loss_ref(q):
+        return jnp.sum(attn_mod.depth_attention_reference(q, q, q) ** 2)
+
+    def loss_vjp(q):
+        return jnp.sum(attn_mod._depth_attention_pallas_vjp(q, q, q) ** 2)
+
+    g_ref = jax.grad(loss_ref)(q)
+    g_vjp = jax.grad(loss_vjp)(q)  # pallas fwd in interpret-less CPU -> falls back
+    np.testing.assert_allclose(np.asarray(g_vjp), np.asarray(g_ref), atol=1e-4)

@@ -58,13 +58,22 @@ class DicomSlice:
     pixel_spacing: Tuple[float, float]
 
 
-def _parse_elements(buf: bytes, explicit: bool) -> Dict[Tuple[int, int], bytes]:
-    """Parse top-level data elements (no nested sequences needed for CT)."""
+def _parse_elements(
+    buf: bytes, explicit: bool, start: int = 0, stop_after_group2: bool = False
+) -> Tuple[Dict[Tuple[int, int], bytes], int]:
+    """Parse top-level data elements (no nested sequences needed for CT).
+
+    Returns (elements, end offset). With stop_after_group2 the walk covers
+    only the always-explicit file-meta group (0002,xxxx) so the dataset body
+    can be re-parsed with the transfer syntax's own VR mode.
+    """
     out: Dict[Tuple[int, int], bytes] = {}
-    i = 0
+    i = start
     n = len(buf)
     while i + 8 <= n:
         group, elem = struct.unpack_from("<HH", buf, i)
+        if stop_after_group2 and group != 0x0002:
+            break
         i += 4
         if explicit or group == 0x0002:  # file-meta group is always explicit
             vr = buf[i : i + 2]
@@ -83,7 +92,7 @@ def _parse_elements(buf: bytes, explicit: bool) -> Dict[Tuple[int, int], bytes]:
         i += length
         if (group, elem) == TAG_PIXEL_DATA:
             break
-    return out
+    return out, i
 
 
 def _read_builtin(path: str) -> DicomSlice:
@@ -92,12 +101,13 @@ def _read_builtin(path: str) -> DicomSlice:
     if data[_MAGIC_OFFSET : _MAGIC_OFFSET + 4] != _MAGIC:
         raise ValueError(f"{path}: not a part-10 DICOM file")
     body = data[_MAGIC_OFFSET + 4 :]
-    # First parse file meta (explicit) to find transfer syntax.
-    meta = _parse_elements(body, explicit=True)
+    # Pass 1: file-meta group only (always explicit VR) -> transfer syntax.
+    meta, body_start = _parse_elements(body, explicit=True, stop_after_group2=True)
     ts = meta.get(TAG_TRANSFER_SYNTAX, _EXPLICIT_LE.encode()).decode().strip("\x00 ")
     if ts not in (_EXPLICIT_LE, _IMPLICIT_LE):
         raise ValueError(f"{path}: unsupported transfer syntax {ts}")
-    elems = _parse_elements(body, explicit=(ts == _EXPLICIT_LE))
+    # Pass 2: dataset body in the syntax's VR mode, starting after the meta.
+    elems, _ = _parse_elements(body, explicit=(ts == _EXPLICIT_LE), start=body_start)
 
     def dec_str(tag, default=""):
         raw = elems.get(tag)
@@ -188,10 +198,12 @@ def load_dicom_volume(directory: str) -> Tuple[np.ndarray, float]:
 
 
 # ------------------------------------------------------------------- writer
-def _enc_elem(group: int, elem: int, vr: bytes, value: bytes) -> bytes:
+def _enc_elem(group: int, elem: int, vr: bytes, value: bytes, explicit: bool = True) -> bytes:
     if len(value) % 2:
-        value += b"\x00" if vr != b"UI" else b"\x00"
+        value += b"\x00"
     head = struct.pack("<HH", group, elem)
+    if not explicit and group != 0x0002:
+        return head + struct.pack("<I", len(value)) + value
     if vr in _LONG_VRS:
         return head + vr + b"\x00\x00" + struct.pack("<I", len(value)) + value
     return head + vr + struct.pack("<H", len(value)) + value
@@ -205,32 +217,34 @@ def write_minimal_dicom(
     slice_thickness: float = 1.0,
     pixel_spacing: Tuple[float, float] = (1.0, 1.0),
     rescale_intercept: float = -1024.0,
+    explicit_vr: bool = True,
 ) -> None:
-    """Write an explicit-VR-LE part-10 CT slice our reader (and pydicom) parse.
-
-    Stores (HU - intercept) as uint16 with RescaleSlope=1.
-    """
+    """Write a part-10 CT slice (explicit- or implicit-VR LE) our reader
+    (and pydicom) parse. Stores (HU - intercept) as uint16 with RescaleSlope=1."""
     rows, cols = pixels_hu.shape
     stored = np.clip(pixels_hu - rescale_intercept, 0, 65535).astype("<u2")
+    e = explicit_vr
+
+    def elem(g, el, vr, val):
+        return _enc_elem(g, el, vr, val, explicit=e)
+
     body = b""
-    body += _enc_elem(0x0008, 0x0060, b"CS", b"CT")
-    body += _enc_elem(0x0018, 0x0050, b"DS", f"{slice_thickness}".encode())
-    body += _enc_elem(0x0020, 0x0013, b"IS", f"{instance_number}".encode())
-    body += _enc_elem(
-        0x0020, 0x0032, b"DS", f"0\\0\\{z_position}".encode()
-    )
-    body += _enc_elem(0x0028, 0x0010, b"US", struct.pack("<H", rows))
-    body += _enc_elem(0x0028, 0x0011, b"US", struct.pack("<H", cols))
-    body += _enc_elem(
+    body += elem(0x0008, 0x0060, b"CS", b"CT")
+    body += elem(0x0018, 0x0050, b"DS", f"{slice_thickness}".encode())
+    body += elem(0x0020, 0x0013, b"IS", f"{instance_number}".encode())
+    body += elem(0x0020, 0x0032, b"DS", f"0\\0\\{z_position}".encode())
+    body += elem(0x0028, 0x0010, b"US", struct.pack("<H", rows))
+    body += elem(0x0028, 0x0011, b"US", struct.pack("<H", cols))
+    body += elem(
         0x0028, 0x0030, b"DS", f"{pixel_spacing[0]}\\{pixel_spacing[1]}".encode()
     )
-    body += _enc_elem(0x0028, 0x0100, b"US", struct.pack("<H", 16))
-    body += _enc_elem(0x0028, 0x0103, b"US", struct.pack("<H", 0))
-    body += _enc_elem(0x0028, 0x1052, b"DS", f"{rescale_intercept}".encode())
-    body += _enc_elem(0x0028, 0x1053, b"DS", b"1")
-    body += _enc_elem(0x7FE0, 0x0010, b"OW", stored.tobytes())
+    body += elem(0x0028, 0x0100, b"US", struct.pack("<H", 16))
+    body += elem(0x0028, 0x0103, b"US", struct.pack("<H", 0))
+    body += elem(0x0028, 0x1052, b"DS", f"{rescale_intercept}".encode())
+    body += elem(0x0028, 0x1053, b"DS", b"1")
+    body += elem(0x7FE0, 0x0010, b"OW", stored.tobytes())
 
-    ts = _EXPLICIT_LE.encode()
-    meta = _enc_elem(0x0002, 0x0010, b"UI", ts)
+    ts = (_EXPLICIT_LE if explicit_vr else _IMPLICIT_LE).encode()
+    meta = _enc_elem(0x0002, 0x0010, b"UI", ts, explicit=True)
     with open(path, "wb") as f:
         f.write(b"\x00" * _MAGIC_OFFSET + _MAGIC + meta + body)

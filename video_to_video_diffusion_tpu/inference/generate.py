@@ -98,18 +98,29 @@ def interpolate_videos(
     encode both, interpolate the conditioning latent, sample each blend with
     a shared noise key, decode."""
     key = key if key is not None else jax.random.PRNGKey(0)
-    z_a = model.encode(params, jnp.asarray(v_a), f32=True)
-    z_b = model.encode(params, jnp.asarray(v_b), f32=True)
+
+    # all stages jitted once and reused across blend factors (eager model
+    # code is pathological on remote-compile TPU backends)
+    ck = (id(model), "interp", num_inference_steps)
+    if ck not in _GEN_CACHE:
+        enc = jax.jit(lambda p, v: model.encode(p, v, f32=True))
+        dec = jax.jit(lambda p, z: model.decode(p, z, f32=True))
+
+        def _sample(p, z_c, k):
+            def eps_fn(z, t):
+                return model.apply_unet(p, z, t, z_c, f32=True)
+
+            return ddim_sample(eps_fn, model.schedule, k, z_c.shape, num_inference_steps)
+
+        _GEN_CACHE[ck] = (enc, jax.jit(_sample), dec)
+    enc, sample, dec = _GEN_CACHE[ck]
+
+    z_a = enc(params, jnp.asarray(v_a))
+    z_b = enc(params, jnp.asarray(v_b))
     outs = []
     for i in range(num_interpolations):
         alpha = i / max(num_interpolations - 1, 1)
         z_c = (1.0 - alpha) * z_a + alpha * z_b
-
-        def eps_fn(z, t, z_c=z_c):
-            return model.apply_unet(params, z, t, z_c, f32=True)
-
-        z0 = ddim_sample(
-            eps_fn, model.schedule, key, z_c.shape, num_inference_steps
-        )
-        outs.append(np.asarray(model.decode(params, z0, f32=True)))
+        z0 = sample(params, z_c, key)
+        outs.append(np.asarray(dec(params, z0)))
     return outs

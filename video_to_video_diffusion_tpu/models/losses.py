@@ -22,14 +22,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from video_to_video_diffusion_tpu.utils.metrics import avg_pool2d as _avg_pool_shared
+
 _MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 
 
 def _avg_pool(x: jnp.ndarray, k: int, stride: int, pad: int) -> jnp.ndarray:
-    s = lax.reduce_window(
-        x, 0.0, lax.add, (1, k, k, 1), (1, stride, stride, 1), ((0, 0), (pad, pad), (pad, pad), (0, 0))
-    )
-    return s / float(k * k)
+    return _avg_pool_shared(x, k, stride=stride, pad=pad)
 
 
 def _ssim_components(
@@ -176,7 +175,10 @@ class CombinedLoss:
 
             gate = (step % self.every_n) == 0
             ssim_l = lax.cond(gate, with_ssim, lambda _: jnp.float32(0.0), None)
-            total = (1.0 - self.lambda_ssim) * total + self.lambda_ssim * ssim_l
+            # additive on gated steps only, like the reference
+            # (models/losses.py:343-357): ungated steps keep the plain
+            # diffusion objective at full scale.
+            total = total + self.lambda_ssim * ssim_l
             aux["ms_ssim_loss"] = ssim_l
         aux["total"] = total
         return total, aux

@@ -33,13 +33,41 @@ def depth_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     """
     if _USE_PALLAS:
         from video_to_video_diffusion_tpu.ops.pallas.depth_attention import (
-            depth_attention_pallas,
+            TILE_N,
         )
 
-        out = depth_attention_pallas(q, k, v)
-        if out is not None:
-            return out
+        if q.shape[0] % TILE_N == 0 and q.shape[2] % 8 == 0 and q.shape[3] % 8 == 0:
+            return _depth_attention_pallas_vjp(q, k, v)
     return depth_attention_reference(q, k, v)
+
+
+@jax.custom_vjp
+def _depth_attention_pallas_vjp(q, k, v):
+    """Pallas forward with a reference-implementation backward.
+
+    The fused kernel is forward-only; grads recompute through the jnp path
+    (standard remat-style tradeoff), which keeps enable_pallas() safe on
+    training paths.
+    """
+    from video_to_video_diffusion_tpu.ops.pallas.depth_attention import (
+        depth_attention_pallas,
+    )
+
+    out = depth_attention_pallas(q, k, v)
+    return out if out is not None else depth_attention_reference(q, k, v)
+
+
+def _attn_fwd(q, k, v):
+    return _depth_attention_pallas_vjp(q, k, v), (q, k, v)
+
+
+def _attn_bwd(residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(depth_attention_reference, q, k, v)
+    return vjp(g)
+
+
+_depth_attention_pallas_vjp.defvjp(_attn_fwd, _attn_bwd)
 
 
 def depth_attention_reference(

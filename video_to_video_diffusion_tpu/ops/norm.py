@@ -6,8 +6,9 @@ contiguous channel grouping, like torch. The reference normalizes with 8
 groups in the VAE (models/vae.py:28) and an adaptive largest-divisor<=32
 group count in the UNet (models/unet3d.py:62-68).
 
-A fused Pallas groupnorm+SiLU kernel lives in ops/pallas/groupnorm_silu.py;
-`group_norm(..., activation="silu")` dispatches to it on TPU.
+A fused Pallas groupnorm+SiLU kernel lives in ops/pallas/groupnorm_silu.py
+as an opt-in alternative for inference paths (it has no custom backward);
+this module is the default, fully differentiable implementation.
 """
 
 from __future__ import annotations

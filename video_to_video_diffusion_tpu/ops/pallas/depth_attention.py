@@ -61,7 +61,7 @@ def depth_attention_pallas(
     interpret: bool = False,
 ) -> Optional[jnp.ndarray]:
     """(N, heads, T, hd) fused attention. None -> caller falls back to jnp."""
-    if not _HAVE_PLTPU and not interpret:
+    if not interpret and (not _HAVE_PLTPU or jax.default_backend() == "cpu"):
         return None
     N, H, T, hd = q.shape
     if N % TILE_N or T % 8 or hd % 8:

@@ -14,6 +14,10 @@ Collapsing the group statistics into a per-channel affine keeps all kernel
 reductions on the lane axis (no cross-lane group reshapes, which Mosaic
 dislikes). Matches ops/norm.py::group_norm bit-for-bit in f32 (tested in
 interpret mode in tests/test_pallas.py).
+
+Opt-in: forward-only (no custom VJP), so it targets inference paths; the
+default group_norm in ops/norm.py stays on training paths. Benchmark with
+scripts/bench_pallas.py before wiring it anywhere hot.
 """
 
 from __future__ import annotations
@@ -81,7 +85,7 @@ def group_norm_silu_pallas(
     Returns None when the shape doesn't tile cleanly (caller falls back to
     the jnp implementation).
     """
-    if not _HAVE_PLTPU and not interpret:
+    if not interpret and (not _HAVE_PLTPU or jax.default_backend() == "cpu"):
         return None
     orig_shape = x.shape
     B, C = x.shape[0], x.shape[-1]

@@ -20,28 +20,37 @@ from video_to_video_diffusion_tpu.parallel.mesh import DATA_AXIS
 from video_to_video_diffusion_tpu.parallel.sharding import batch_sharding, replicate
 
 
+_GEN_CACHE = {}
+
+
 def sharded_patch_generator(model, params, mesh, num_inference_steps: int, depth_ratio: int):
     """A generate-batch fn whose patch axis is sharded over 'data'.
 
-    Returns fn(patches (N, pd, ph, pw, C), key) -> (N, pd*ratio, ph, pw, C)
-    with N expected to be a multiple of the data-axis size.
+    Returns fn(params, patches, key)-backed wrapper bound to `params`;
+    the jitted core is cached per (model, mesh, steps, ratio) so repeated
+    stitching calls never recompile. N must be a multiple of the data-axis
+    size.
     """
     in_shard = batch_sharding(mesh)
     rep = replicate(mesh)
+    ck = (id(model), id(mesh), num_inference_steps, depth_ratio)
+    if ck not in _GEN_CACHE:
 
-    @jax.jit
-    def gen(v, k):
-        v = jax.lax.with_sharding_constraint(v, in_shard)
-        out = model.generate(
-            params, v, k, "ddim", num_inference_steps,
-            target_depth=v.shape[1] * depth_ratio,
-        )
-        return out
+        @jax.jit
+        def gen(p, v, k):
+            v = jax.lax.with_sharding_constraint(v, in_shard)
+            return model.generate(
+                p, v, k, "ddim", num_inference_steps,
+                target_depth=v.shape[1] * depth_ratio,
+            )
+
+        _GEN_CACHE[ck] = gen
+    gen = _GEN_CACHE[ck]
 
     def wrapped(v, k):
         v = jax.device_put(v, in_shard)
         k = jax.device_put(k, rep)
-        return gen(v, k)
+        return gen(params, v, k)
 
     return wrapped
 

@@ -59,11 +59,16 @@ def make_optimizer(
             "vae_decoder": cfg.pretrained.lr_mult_vae_decoder,
             "unet": cfg.pretrained.lr_mult_unet,
         }
+    # The schedule ticks once per OPTIMIZER step (optax.MultiSteps advances
+    # the inner transform every k micro-steps), so warmup must be expressed
+    # in optimizer steps too — micro-step warmup would stretch it by the
+    # accumulation factor.
+    accum = max(t.gradient_accumulation_steps, 1)
     schedule = get_schedule(
         t.scheduler,
         t.learning_rate,
         total_steps=max(total_steps, 1),
-        warmup_steps=t.warmup_epochs * steps_per_epoch,
+        warmup_steps=t.warmup_epochs * steps_per_epoch // accum,
         min_lr=t.min_lr,
     )
 

@@ -94,10 +94,13 @@ class VAETrainer:
     # --------------------------------------------------------------- wiring
     def setup_optimizer(self, steps_per_epoch: int) -> None:
         t = self.config.training
-        total = max(t.num_epochs * steps_per_epoch, 1)
+        # schedule ticks per optimizer step (MultiSteps: once per k micro-steps)
+        accum = max(t.gradient_accumulation_steps, 1)
+        total = max(t.num_epochs * steps_per_epoch // accum, 1)
         self.lr_schedule = get_schedule(
             t.scheduler, t.learning_rate, total,
-            warmup_steps=t.warmup_epochs * steps_per_epoch, min_lr=t.min_lr,
+            warmup_steps=t.warmup_epochs * steps_per_epoch // accum,
+            min_lr=t.min_lr,
         )
         self._tx = optax.chain(
             optax.clip_by_global_norm(t.max_grad_norm),
@@ -165,18 +168,21 @@ class VAETrainer:
         for i, batch in enumerate(train_loader):
             x = self._put(self._pick_volume(batch, rng))
             self.state, aux = self._train_step(self.state, x)
-            # host-side counter: reading state.step would force a device
-            # sync every step and stall the dispatch pipeline
+            # host-side counter + device-resident metrics: float()-ing every
+            # step would force a device sync per step and stall dispatch
             self.global_step += 1
-            losses.append(float(aux["total"]))
-            psnrs.append(float(aux["psnr"]))
+            losses.append(aux["total"])
+            psnrs.append(aux["psnr"])
             if self.config.training.log_interval and i % self.config.training.log_interval == 0:
-                self.writer.add_scalar("vae_train/loss", losses[-1], self.global_step)
-                self.writer.add_scalar("vae_train/psnr", psnrs[-1], self.global_step)
+                self.writer.add_scalar("vae_train/loss", float(aux["total"]), self.global_step)
+                self.writer.add_scalar("vae_train/psnr", float(aux["psnr"]), self.global_step)
                 self.writer.add_scalar(
                     "vae_train/lr", float(self.lr_schedule(self.global_step)), self.global_step
                 )
-        return {"loss": float(np.mean(losses)), "psnr": float(np.mean(psnrs))}
+        return {
+            "loss": float(np.mean([float(l) for l in losses])),
+            "psnr": float(np.mean([float(p) for p in psnrs])),
+        }
 
     def validate(self, val_loader, max_batches: Optional[int] = 16) -> Dict[str, float]:
         """Thin-slice validation with PSNR/SSIM (reference :383-452)."""

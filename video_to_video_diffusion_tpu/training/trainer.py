@@ -177,38 +177,51 @@ class Trainer:
             data_time += time.time() - t_last
             t0 = time.time()
             self.state, metrics = self._train_step(self.state, dev_batch, self._next_key())
-            loss = float(metrics["loss"])
+            # keep the loss as a device scalar — float()-ing it here would
+            # block dispatch of the next step on every micro-step
+            losses.append(metrics["loss"])
             step_time += time.time() - t0
-            losses.append(loss)
-            # host-side micro-step counter (reading state.step would force a
-            # device sync per step)
             self._micro_step += 1
             self.global_step = self._micro_step // accum
             if t.log_interval and (i % t.log_interval == 0):
                 lr = float(self.lr_schedule(self.global_step))
-                self.writer.add_scalar("train/loss", loss, self.global_step)
+                self.writer.add_scalar("train/loss", float(metrics["loss"]), self.global_step)
                 self.writer.add_scalar("train/lr", lr, self.global_step)
                 self.writer.add_scalar(
                     "train/grad_norm", float(metrics["grad_norm"]), self.global_step
                 )
             t_last = time.time()
         return {
-            "loss": float(np.mean(losses)) if losses else float("nan"),
+            "loss": float(np.mean([float(l) for l in losses])) if losses else float("nan"),
             "data_time": data_time,
             "step_time": step_time,
         }
 
     # ------------------------------------------------------------ validation
+    def _val_iter(self):
+        """Validation batches with pinned randomness.
+
+        Both the patch draw (loader epoch) and the diffusion timestep/noise
+        keys are fixed across validations — diffusion loss varies ~100x over
+        timesteps, so a freshly-sampled eval would rank checkpoints by draw
+        luck rather than model quality.
+        """
+        if hasattr(self.val_loader, "set_epoch"):
+            self.val_loader.set_epoch(0)
+        val_key = jax.random.PRNGKey(10_000)
+        for i, batch in enumerate(self.val_loader):
+            yield batch, jax.random.fold_in(val_key, i)
+
     def validate_loss_only(self, max_batches: Optional[int] = None) -> float:
         """Tier 1 (reference trainer.py:413-445)."""
         if self.val_loader is None:
             return float("nan")
         losses = []
-        for i, batch in enumerate(self.val_loader):
+        for i, (batch, vkey) in enumerate(self._val_iter()):
             if max_batches is not None and i >= max_batches:
                 break
             losses.append(
-                float(self._eval_loss(self.state.params, self._put(batch), self._next_key()))
+                float(self._eval_loss(self.state.params, self._put(batch), vkey))
             )
         val = float(np.mean(losses)) if losses else float("nan")
         self.writer.add_scalar("val/loss", val, self.global_step)
@@ -227,13 +240,13 @@ class Trainer:
         num_samples = num_samples or t.patch_val_samples
         losses, psnrs, ssims = [], [], []
         seen = 0
-        for batch in self.val_loader:
+        for batch, vkey in self._val_iter():
             dev = self._put(batch)
-            losses.append(float(self._eval_loss(self.state.params, dev, self._next_key())))
+            losses.append(float(self._eval_loss(self.state.params, dev, vkey)))
             if generate:
                 target_depth = batch["target"].shape[1]
                 gen = self._jitted_generate(20, target_depth)(
-                    self.state.params, dev["input"], self._next_key()
+                    self.state.params, dev["input"], vkey
                 )
                 m = calculate_video_metrics(
                     from_model_range(np.asarray(gen)),
@@ -253,33 +266,33 @@ class Trainer:
         return out
 
     def validate_full_volumes(self, num_samples: Optional[int] = None, steps: int = 20) -> Dict[str, float]:
-        """Tier 3: sliding-window stitched full volumes (reference :528-603)."""
-        from video_to_video_diffusion_tpu.inference.sampler import sample_with_stitching
+        """Tier 3: sliding-window stitched full volumes (reference :528-603).
+
+        Uses the pipelined stitcher, whose stage jits are cached per model —
+        a per-call jit closure here would recompile the encode+DDIM+decode
+        pipeline (minutes) on every Tier-3 validation.
+        """
+        from video_to_video_diffusion_tpu.inference.pipeline import generate_volume
 
         t = self.config.training
         d = self.config.data
         if self.full_val_loader is None:
             return {}
         num_samples = num_samples or t.full_val_samples
-        ratio = d.patch_depth_thin // d.patch_depth_thick
         psnrs, ssims = [], []
         seen = 0
-        gen_patch = jax.jit(
-            lambda v, k: self.model.generate(
-                self.state.params, v, k, "ddim", steps,
-                target_depth=v.shape[1] * ratio,
-            )
-        )
         for batch in self.full_val_loader:
             for b in range(batch["input"].shape[0]):
                 thick = jnp.asarray(batch["input"][b : b + 1])
                 n_thick = int(batch["thick_mask"][b].sum()) if "thick_mask" in batch else thick.shape[1]
                 n_thin = int(batch["thin_mask"][b].sum()) if "thin_mask" in batch else batch["target"].shape[1]
                 thick = thick[:, :n_thick]
-                out = sample_with_stitching(
-                    gen_patch,
+                out = generate_volume(
+                    self.model,
+                    self.state.params,
                     thick,
                     self._next_key(),
+                    num_inference_steps=steps,
                     patch_size=(d.patch_depth_thick, *d.patch_size),
                     target_patch_size=(d.patch_depth_thin, *d.patch_size),
                     stride=(

@@ -25,18 +25,27 @@ import numpy as np
 from jax import lax
 
 
-def _avg_pool2d(x: jnp.ndarray, window: int) -> jnp.ndarray:
-    """torch F.avg_pool2d(k, stride=1, padding=k//2) with count_include_pad."""
-    p = window // 2
+def avg_pool2d(
+    x: jnp.ndarray, window: int, stride: int = 1, pad: int | None = None
+) -> jnp.ndarray:
+    """torch F.avg_pool2d semantics (count_include_pad) on (B, H, W, C).
+
+    Default stride=1, pad=window//2 matches the SSIM uniform window; shared
+    by the metric SSIM here and the differentiable SSIM/MS-SSIM losses.
+    """
+    p = window // 2 if pad is None else pad
     summed = lax.reduce_window(
         x,
         0.0,
         lax.add,
         window_dimensions=(1, window, window, 1),
-        window_strides=(1, 1, 1, 1),
+        window_strides=(1, stride, stride, 1),
         padding=((0, 0), (p, p), (p, p), (0, 0)),
     )
     return summed / float(window * window)
+
+
+_avg_pool2d = avg_pool2d  # internal alias
 
 
 @partial(jax.jit, static_argnames=("max_val",))
