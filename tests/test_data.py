@@ -194,3 +194,15 @@ def test_corrupted_cache_retry_chain(tmp_path):
         f.write(b"not a zip")
     s = ds[0]
     assert np.isfinite(s["input"]).all()  # served from a neighboring sample
+
+
+def test_dicom_implicit_vr_roundtrip(tmp_path):
+    """Implicit-VR-LE files must parse via the builtin reader."""
+    rng = np.random.default_rng(2)
+    hu = rng.uniform(-1000, 400, (8, 8)).astype(np.float32)
+    p = str(tmp_path / "imp.dcm")
+    write_minimal_dicom(p, hu, instance_number=7, z_position=3.5,
+                        slice_thickness=5.0, explicit_vr=False)
+    s = read_dicom_slice(p)
+    np.testing.assert_allclose(s.pixels, np.round(hu + 1024) - 1024, atol=1.0)
+    assert s.instance_number == 7 and s.z_position == 3.5
