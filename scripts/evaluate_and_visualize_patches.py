@@ -55,10 +55,17 @@ def main(argv=None):
     params = restored["params"]
 
     loader = get_unified_dataloader(cfg, args.split)
-    gen = jax.jit(
-        lambda v, k, td: model.generate(params, v, k, args.sampler, args.steps, target_depth=td),
-        static_argnums=(2,),
-    )
+    if args.sampler == "ddim":
+        from video_to_video_diffusion_tpu.inference.pipeline import staged_generate
+
+        def gen(v, k, td):
+            return staged_generate(model, params, v, k, args.steps, target_depth=td)
+    else:
+        _g = jax.jit(
+            lambda v, k, td: model.generate(params, v, k, args.sampler, args.steps, target_depth=td),
+            static_argnums=(2,),
+        )
+        gen = _g
 
     rows = []
     key = jax.random.PRNGKey(0)

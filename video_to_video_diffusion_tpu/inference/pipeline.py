@@ -78,6 +78,51 @@ def _blend(acc, wmap, patches, coords, dims):
     return jax.lax.fori_loop(0, patches.shape[0], put, (acc, wmap))
 
 
+def staged_generate(
+    model,
+    params,
+    v_in: jnp.ndarray,
+    key: jax.Array,
+    num_inference_steps: int = 20,
+    target_depth: Optional[int] = None,
+    eta: float = 0.0,
+) -> jnp.ndarray:
+    """generate() semantics through three independently compiled stages.
+
+    Same math as model.generate (encode -> DDIM -> decode, NaN scrubs, z0
+    clamp) but each stage is its own cached jit — one fused generate program
+    takes tens of minutes to compile through a remote compiler, while the
+    stages compile in minutes once and are shared with generate_volume.
+    """
+    enc = _cached(
+        "encode", (id(model),) + tuple(v_in.shape[1:]) + (v_in.shape[0],),
+        lambda: jax.jit(lambda p, v: model.encode(p, v).astype(jnp.float32)),
+    )
+    z_in = jnp.nan_to_num(enc(params, v_in), posinf=1.0, neginf=-1.0)
+    if target_depth is not None and target_depth != z_in.shape[1]:
+        z_in = resize_trilinear(z_in, (target_depth, z_in.shape[2], z_in.shape[3]))
+
+    def _sample(p, z_c, k):
+        def eps(z, t):
+            return model.apply_unet(p, z, t, z_c).astype(jnp.float32)
+
+        return ddim_sample(eps, model.schedule, k, z_c.shape, num_inference_steps, eta)
+
+    sample = _cached(
+        "ddim", (id(model), num_inference_steps, eta) + tuple(z_in.shape),
+        lambda: jax.jit(_sample),
+    )
+    z0 = sample(params, z_in, key)
+    z0 = jnp.clip(jnp.nan_to_num(z0, posinf=1.0, neginf=-1.0), -10.0, 10.0)
+
+    dec = _cached(
+        "decode", (id(model), z0.shape[0]) + tuple(z0.shape[1:]),
+        lambda: jax.jit(lambda p, z: model.decode(p, z).astype(jnp.float32)),
+    )
+    out = dec(params, z0)
+    return jnp.nan_to_num(out, posinf=1.0, neginf=-1.0)
+
+
 def generate_volume(
     model,
     params,
