@@ -19,15 +19,30 @@ import numpy as np
 from video_to_video_diffusion_tpu.utils.platform import enable_compilation_cache
 
 
-def timed(name, fn, *args, n=10):
+CHAIN = 50  # iterations chained device-side per measurement
+
+
+def chained(op):
+    """Run `op` CHAIN times with a device-side dependency chain inside one
+    jit — a single host round-trip per measurement (the relay RTT is ~36 ms,
+    which would otherwise swamp sub-ms kernels)."""
+
+    @jax.jit
+    def many(x):
+        return jax.lax.fori_loop(0, CHAIN, lambda i, a: op(a), x)
+
+    return many
+
+
+def timed(name, fn, *args, n=3):
     out = fn(*args)
-    _ = float(jnp.asarray(out).ravel()[0])  # sync
+    _ = float(jnp.asarray(out).ravel()[0])  # compile + sync
     t0 = time.time()
     for _i in range(n):
         out = fn(*args)
         _ = float(jnp.asarray(out).ravel()[0])
-    dt = (time.time() - t0) / n
-    print(f"{name}: {dt * 1e3:.2f} ms", flush=True)
+    dt = (time.time() - t0) / n / CHAIN
+    print(f"{name}: {dt * 1e3:.3f} ms/op", flush=True)
     return dt
 
 
@@ -52,8 +67,8 @@ def main():
         x = jnp.asarray(rng.standard_normal(shape, dtype=np.float32)).astype(jnp.bfloat16)
         scale = jnp.ones(shape[-1])
         bias = jnp.zeros(shape[-1])
-        jx = jax.jit(lambda x: group_norm(x, scale, bias, groups, activation="silu"))
-        px = jax.jit(lambda x: group_norm_silu_pallas(x, scale, bias, groups))
+        jx = chained(lambda x: group_norm(x, scale, bias, groups, activation="silu"))
+        px = chained(lambda x: group_norm_silu_pallas(x, scale, bias, groups))
         t_x = timed(f"{name} xla", jx, x)
         try:
             t_p = timed(f"{name} pallas", px, x)
@@ -66,8 +81,8 @@ def main():
         ("attn_lvl2", (5 * 12 * 12, 8, 48, 64)),
     ):
         q = jnp.asarray(rng.standard_normal(shape, dtype=np.float32)).astype(jnp.bfloat16)
-        jx = jax.jit(lambda q: depth_attention_reference(q, q, q))
-        px = jax.jit(lambda q: depth_attention_pallas(q, q, q))
+        jx = chained(lambda q: depth_attention_reference(q, q, q))
+        px = chained(lambda q: depth_attention_pallas(q, q, q))
         t_x = timed(f"{name} xla", jx, q)
         try:
             t_p = timed(f"{name} pallas", px, q)

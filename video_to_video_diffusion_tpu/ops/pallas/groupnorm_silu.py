@@ -40,20 +40,28 @@ _MAX_TILE_BYTES = 4 * 1024 * 1024
 
 
 def _pick_tile(S: int, C: int) -> Optional[int]:
-    """Largest divisor of S whose (tile, C) f32 block fits the VMEM budget."""
+    """Largest divisor of S whose (tile, C) f32 block fits the VMEM budget.
+
+    The tile is the block's second-to-last dim, so Mosaic requires it be a
+    multiple of 8 (sublane) unless it equals S itself.
+    """
     max_tile = max(_MAX_TILE_BYTES // (C * 4), 1)
+    if S <= max_tile:
+        return S
     best = None
     d = 1
     while d * d <= S:
         if S % d == 0:
             for cand in (d, S // d):
-                if cand <= max_tile and (best is None or cand > best):
+                if cand <= max_tile and cand % 8 == 0 and (best is None or cand > best):
                     best = cand
         d += 1
     return best
 
 
 def _stats_kernel(x_ref, sum_ref, sq_ref):
+    # sum/sq blocks are (1, 1, C) — the singleton dims legally equal the
+    # array dims, satisfying Mosaic's (8, 128) block-tiling constraint.
     s = pl.program_id(1)
 
     @pl.when(s == 0)
@@ -62,13 +70,13 @@ def _stats_kernel(x_ref, sum_ref, sq_ref):
         sq_ref[:] = jnp.zeros_like(sq_ref)
 
     x = x_ref[0].astype(jnp.float32)  # (TILE_S, C)
-    sum_ref[:] += jnp.sum(x, axis=0, keepdims=True)
-    sq_ref[:] += jnp.sum(x * x, axis=0, keepdims=True)
+    sum_ref[0, 0, :] += jnp.sum(x, axis=0)
+    sq_ref[0, 0, :] += jnp.sum(x * x, axis=0)
 
 
 def _apply_kernel(x_ref, a_ref, b_ref, o_ref):
     x = x_ref[0].astype(jnp.float32)
-    y = x * a_ref[:] + b_ref[:]
+    y = x * a_ref[0] + b_ref[0]  # a/b blocks (1, 1, C) broadcast over rows
     o_ref[0, :, :] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
 
 
@@ -87,9 +95,11 @@ def group_norm_silu_pallas(
     """
     if not interpret and (not _HAVE_PLTPU or jax.default_backend() == "cpu"):
         return None
+    import math
+
     orig_shape = x.shape
     B, C = x.shape[0], x.shape[-1]
-    S = int(jnp.prod(jnp.asarray(x.shape[1:-1]))) if x.ndim > 2 else 1
+    S = math.prod(x.shape[1:-1]) if x.ndim > 2 else 1
     if C % num_groups or C % 128:
         return None
     tile = _pick_tile(S, C)
@@ -104,15 +114,17 @@ def group_norm_silu_pallas(
         grid=(B, n_tiles),
         in_specs=[pl.BlockSpec((1, tile, C), lambda b, s: (b, s, 0))],
         out_specs=[
-            pl.BlockSpec((1, C), lambda b, s: (b, 0)),
-            pl.BlockSpec((1, C), lambda b, s: (b, 0)),
+            pl.BlockSpec((1, 1, C), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda b, s: (b, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
         ],
         **kw,
     )(xr)
+    sums = sums[:, 0]
+    sqs = sqs[:, 0]
 
     # group stats from per-channel sums (tiny, XLA)
     g = num_groups
@@ -125,16 +137,18 @@ def group_norm_silu_pallas(
     inv = jax.lax.rsqrt(var + eps)  # (B, g)
     mean_c = jnp.repeat(mean, cg, axis=1)  # (B, C)
     inv_c = jnp.repeat(inv, cg, axis=1)
-    a = inv_c * scale.astype(jnp.float32)[None, :]
-    b = bias.astype(jnp.float32)[None, :] - mean_c * a
+    a2d = inv_c * scale.astype(jnp.float32)[None, :]
+    b2d = bias.astype(jnp.float32)[None, :] - mean_c * a2d
+    a = a2d[:, None, :]  # (B, 1, C) — singleton dim keeps blocks tiling-legal
+    b = b2d[:, None, :]
 
     out = pl.pallas_call(
         _apply_kernel,
         grid=(B, n_tiles),
         in_specs=[
             pl.BlockSpec((1, tile, C), lambda b_, s: (b_, s, 0)),
-            pl.BlockSpec((1, C), lambda b_, s: (b_, 0)),
-            pl.BlockSpec((1, C), lambda b_, s: (b_, 0)),
+            pl.BlockSpec((1, 1, C), lambda b_, s: (b_, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda b_, s: (b_, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tile, C), lambda b_, s: (b_, s, 0)),
         out_shape=jax.ShapeDtypeStruct((B, S, C), x.dtype),
