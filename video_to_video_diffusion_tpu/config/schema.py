@@ -136,6 +136,9 @@ class DataConfig:
     drop_last: bool = True
     max_train_samples: Optional[int] = None
     target_size: Tuple[int, int] = (512, 512)
+    # in-memory LRU over decompressed volumes (npz decode dominates host time
+    # on patch sampling; 0 disables)
+    cache_size_bytes: int = 2_000_000_000
     # synthetic data (framework addition: lets every pipeline stage run
     # without the 50 GB APE download; tests and benchmarks use it)
     synthetic_num_patients: int = 0
@@ -167,6 +170,7 @@ class DataConfig:
             drop_last=bool(_pick(d, "drop_last", default=True)),
             max_train_samples=_pick(d, "max_train_samples"),
             target_size=tuple(_pick(d, "target_size", default=(512, 512))),
+            cache_size_bytes=int(_pick(d, "cache_size_bytes", default=2_000_000_000)),
             synthetic_num_patients=int(_pick(d, "synthetic_num_patients", default=0)),
             synthetic_thin_depth=int(_pick(d, "synthetic_thin_depth", default=60)),
             synthetic_height=int(_pick(d, "synthetic_height", default=96)),

@@ -22,6 +22,7 @@ import os
 import shutil
 import tempfile
 import zipfile
+from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -192,7 +193,9 @@ def patient_split(
 
 # ------------------------------------------------------------------ datasets
 def _add_channel(v: np.ndarray) -> np.ndarray:
-    return v.astype(np.float32)[..., None]
+    # view, not copy: full volumes stay float16 until a patch/collate step
+    # materializes the (much smaller) working set in f32
+    return v[..., None]
 
 
 class SliceInterpolationDataset:
@@ -221,18 +224,38 @@ class SliceInterpolationDataset:
         splits = patient_split(files, self.cfg.val_split, self.cfg.test_split, self.cfg.seed)
         self.files = splits[split]
         self.split = split
+        # LRU over decompressed float16 volumes: npz decode dominates host
+        # time when drawing many random patches per volume per epoch.
+        self._cache: "OrderedDict[int, Tuple[np.ndarray, np.ndarray]]" = OrderedDict()
+        self._cache_bytes = 0
+        self._cache_limit = max(int(self.cfg.cache_size_bytes), 0)
 
     def __len__(self) -> int:
         return len(self.files)
+
+    def _load_raw(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        if idx in self._cache:
+            self._cache.move_to_end(idx)
+            return self._cache[idx]
+        with np.load(self.files[idx]) as z:
+            pair = (z["input"], z["target"])  # float16 (D, H, W)
+        nbytes = pair[0].nbytes + pair[1].nbytes
+        if self._cache_limit and nbytes <= self._cache_limit:
+            while self._cache_bytes + nbytes > self._cache_limit and self._cache:
+                _, old = self._cache.popitem(last=False)
+                self._cache_bytes -= old[0].nbytes + old[1].nbytes
+            self._cache[idx] = pair
+            self._cache_bytes += nbytes
+        return pair
 
     def __getitem__(self, idx: int, _retries: int = 10) -> Dict[str, np.ndarray]:
         """Load a cached case; corrupted files fall through to the next
         sample with a retry cap, then a dummy sample — the reference's
         fault-isolation chain (slice_interpolation_dataset.py:626-680)."""
         try:
-            with np.load(self.files[idx]) as z:
-                thick = _add_channel(z["input"])
-                thin = _add_channel(z["target"])
+            raw_thick, raw_thin = self._load_raw(idx)
+            thick = _add_channel(raw_thick)
+            thin = _add_channel(raw_thin)
         except (OSError, ValueError, zipfile.BadZipFile, KeyError):
             if _retries > 0 and len(self.files) > 1:
                 return self.__getitem__((idx + 1) % len(self.files), _retries - 1)
@@ -333,12 +356,13 @@ class PatchSliceInterpolationDataset:
         thick_p = linear_resample_depth(thick_sub, pd_thick).astype(np.float32)
 
         # pad thin with air if the window ran off the end (:190-193)
+        thin_p = thin_p.astype(np.float32)
         if thin_p.shape[0] < pd_thin:
             pad = np.full(
                 (pd_thin - thin_p.shape[0], ph, pw, 1), PAD_VALUE, np.float32
             )
-            thin_p = np.concatenate([thin_p.astype(np.float32), pad], axis=0)
-        return thick_p, thin_p.astype(np.float32)
+            thin_p = np.concatenate([thin_p, pad], axis=0)
+        return thick_p.astype(np.float32), thin_p
 
     def augment_patch(
         self, thick: np.ndarray, thin: np.ndarray, rng: np.random.Generator
