@@ -145,3 +145,38 @@ def test_count_parameters(tiny_model):
     counts = model.count_parameters(params)
     assert counts["total"] == counts["vae"] + counts["unet"]
     assert counts["total"] > 0
+
+
+def test_temporal_attention_matches_plain_sdpa():
+    """The lane-aligned einsum formulation (TemporalAttention docstring) must
+    equal plain per-site scaled-dot-product attention over depth in f32."""
+    from video_to_video_diffusion_tpu.models.unet3d import TemporalAttention
+    from video_to_video_diffusion_tpu.ops.norm import adaptive_num_groups, group_norm
+
+    B, D, H, W, C, heads = 2, 6, 4, 4, 8, 2
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, D, H, W, C))
+    attn = TemporalAttention(num_heads=heads)
+    params = attn.init(jax.random.PRNGKey(1), x)["params"]
+    got = np.asarray(attn.apply({"params": params}, x))
+
+    # reference math: GN -> 1x1x1 conv qkv -> per-(h,w) SDPA over depth ->
+    # 1x1x1 proj -> residual (reference models/unet3d.py:163-194, fixed AV)
+    h = group_norm(x, params["norm"]["scale"], params["norm"]["bias"],
+                   adaptive_num_groups(C), 1e-5)
+    qkv = jnp.einsum("bdhwc,cf->bdhwf", h, params["qkv"]["kernel"][0, 0, 0])
+    qkv = qkv + params["qkv"]["bias"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def to_heads(a):
+        Bq, Dq, Hq, Wq, Cq = a.shape
+        a = a.reshape(Bq, Dq, Hq, Wq, heads, Cq // heads)
+        return a.transpose(0, 2, 3, 4, 1, 5)  # (B,H,W,heads,D,c)
+
+    qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
+    logits = jnp.einsum("bhwnqc,bhwnkc->bhwnqk", qh, kh) * ((C // heads) ** -0.5)
+    a = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("bhwnqk,bhwnkc->bhwnqc", a, vh)
+    o = o.transpose(0, 4, 1, 2, 3, 5).reshape(B, D, H, W, C)
+    want = jnp.einsum("bdhwc,cf->bdhwf", o, params["proj_out"]["kernel"][0, 0, 0])
+    want = np.asarray(want + params["proj_out"]["bias"] + x)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
