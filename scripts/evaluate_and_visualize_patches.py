@@ -40,7 +40,7 @@ def main(argv=None):
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--split", default="val")
     ap.add_argument("--num-samples", type=int, default=10)
-    ap.add_argument("--sampler", default="ddim", choices=["ddim", "ddpm"])
+    ap.add_argument("--sampler", default="ddim", choices=["ddim", "ddpm", "edm"])
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--output", default="patch_eval")
     ap.add_argument("--viz-dir", default=None)

@@ -180,3 +180,12 @@ def test_temporal_attention_matches_plain_sdpa():
     want = jnp.einsum("bdhwc,cf->bdhwf", o, params["proj_out"]["kernel"][0, 0, 0])
     want = np.asarray(want + params["proj_out"]["bias"] + x)
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_model_generate_edm_sampler(tiny_model):
+    """model.generate routes sampler='edm' through the Karras-Heun path."""
+    model, params = tiny_model
+    v_in = jax.random.normal(jax.random.PRNGKey(7), (1, 2, 32, 32, 1))
+    gen = model.generate(params, v_in, jax.random.PRNGKey(8), "edm", 3, target_depth=4)
+    assert gen.shape == (1, 4, 32, 32, 1)
+    assert np.isfinite(np.asarray(gen)).all()

@@ -119,3 +119,58 @@ def test_stitching_passthrough_identity():
     )
     want = np.repeat(np.asarray(base), 2, axis=1)
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-2)
+
+
+# ----------------------------------------------------------------------- EDM
+def test_edm_sigmas_snap_to_vp_table(sched):
+    from video_to_video_diffusion_tpu.inference.sampler import edm_sigmas
+
+    sigmas, t_idx = edm_sigmas(sched, 10)
+    abar = np.asarray(sched.alphas_cumprod, np.float64)
+    table = np.sqrt((1.0 - abar) / abar)
+    # descending, snapped exactly onto the trained sigma grid
+    assert (np.diff(sigmas) < 0).all()
+    np.testing.assert_allclose(sigmas, table[t_idx], rtol=0, atol=0)
+    assert t_idx[0] == sched.timesteps - 1  # starts at sigma_max
+    assert t_idx[-1] == 0  # ends at sigma_min
+
+
+def test_edm_oracle_recovers_x0_exactly(sched):
+    """With an oracle eps the PF-ODE trajectory is a line in sigma, which
+    Heun/Euler follow exactly -> the sampler returns x0 to float precision."""
+    from video_to_video_diffusion_tpu.inference.sampler import edm_sample
+
+    shape = (2, 2, 4, 4, 2)
+    x0 = jax.random.uniform(jax.random.PRNGKey(7), shape, minval=-0.9, maxval=0.9)
+    sa = sched.sqrt_alphas_cumprod
+    s1 = sched.sqrt_one_minus_alphas_cumprod
+
+    def oracle(z, t):
+        return (z - sa[t[0]] * x0) / s1[t[0]]
+
+    out = edm_sample(oracle, sched, jax.random.PRNGKey(0), shape, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=5e-4)
+
+
+def test_edm_deterministic_and_bounded(sched):
+    from video_to_video_diffusion_tpu.inference.sampler import edm_sample
+
+    shape = (1, 2, 4, 4, 2)
+    z1 = edm_sample(zero_eps, sched, jax.random.PRNGKey(0), shape, 6)
+    z2 = edm_sample(zero_eps, sched, jax.random.PRNGKey(0), shape, 6)
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+    z3 = edm_sample(zero_eps, sched, jax.random.PRNGKey(1), shape, 6)
+    assert not np.allclose(np.asarray(z1), np.asarray(z3))
+    assert np.isfinite(np.asarray(z1)).all()
+    # final step returns the clamped denoised prediction
+    assert np.abs(np.asarray(z1)).max() <= 10.0 + 1e-5
+
+
+def test_edm_sampler_class_wrapper(sched):
+    from video_to_video_diffusion_tpu.inference.sampler import EDMSampler
+
+    s = EDMSampler(sched, zero_eps)
+    out = s.sample((1, 2, 4, 4, 2), num_inference_steps=4,
+                   key=jax.random.PRNGKey(0))
+    assert out.shape == (1, 2, 4, 4, 2)
+    assert np.isfinite(np.asarray(out)).all()

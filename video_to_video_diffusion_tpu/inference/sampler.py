@@ -93,6 +93,96 @@ def ddim_sample(
     return z_final
 
 
+# ---------------------------------------------------------------------- EDM
+def edm_sigmas(
+    schedule: DiffusionSchedule,
+    num_inference_steps: int,
+    rho: float = 7.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Karras et al. 2022 sigma schedule, snapped to the trained VP grid.
+
+    The trained discrete VP schedule induces a sigma table
+    sigma_t = sqrt(1 - abar_t) / sqrt(abar_t) (the noise level of
+    x_hat = z_t / sqrt(abar_t) = x0 + sigma_t * eps). We lay out
+    `num_inference_steps` rho-spaced sigmas between the table's max and min
+    and snap each to the nearest table entry, so the model is only ever
+    queried at noise levels it was trained on and the discrete timestep
+    conditioning is exact (no continuous-sigma mismatch).
+
+    Returns (sigmas (n,), t_indices (n,)) with sigmas descending; the
+    terminal sigma=0 is NOT included (samplers append it).
+    """
+    abar = np.asarray(schedule.alphas_cumprod, np.float64)
+    sigma_table = np.sqrt((1.0 - abar) / abar)  # ascending in t
+    s_min, s_max = sigma_table[0], sigma_table[-1]
+    i = np.arange(num_inference_steps, dtype=np.float64)
+    frac = i / max(num_inference_steps - 1, 1)
+    sig = (
+        s_max ** (1.0 / rho) + frac * (s_min ** (1.0 / rho) - s_max ** (1.0 / rho))
+    ) ** rho
+    t_idx = np.abs(sigma_table[None, :] - sig[:, None]).argmin(axis=1)
+    t_idx = np.asarray(sorted(set(t_idx.tolist()), reverse=True), np.int64)
+    return sigma_table[t_idx], t_idx
+
+
+def edm_sample(
+    eps_fn: EpsFn,
+    schedule: DiffusionSchedule,
+    key: jax.Array,
+    shape: Sequence[int],
+    num_inference_steps: int = 20,
+    rho: float = 7.0,
+) -> jnp.ndarray:
+    """EDM (Karras) deterministic Heun sampler over the probability-flow ODE.
+
+    Goes beyond the reference, whose EDMSampler is a NotImplementedError stub
+    (inference/sampler.py:482-493). Works on the standard eps-prediction
+    model with no retraining: in the x_hat = z / sqrt(abar) parametrization
+    the ODE is dx_hat/dsigma = eps_hat(x_hat, sigma), integrated with Heun's
+    2nd-order method (two eps_fn calls per step, one on the final
+    Euler-to-zero step). The model input is rescaled by
+    c_in = sqrt(abar_t) = 1/sqrt(1 + sigma_t^2), and the denoised prediction
+    is clamped to [-10, 10] each step like the DDIM path (custom-VAE latents
+    are not unit range).
+
+    Deterministic under a fixed key (noise enters only at initialization).
+    """
+    sigmas, t_idx = edm_sigmas(schedule, num_inference_steps, rho)
+    n = len(sigmas)
+    sig = jnp.asarray(np.append(sigmas, 0.0), jnp.float32)  # (n+1,) descending
+    c_in = jnp.asarray(1.0 / np.sqrt(1.0 + sigmas ** 2), jnp.float32)
+    t_arr = jnp.asarray(t_idx, jnp.int32)
+    B = shape[0]
+
+    def denoise(x, sigma, cin, t_scalar):
+        t = jnp.full((B,), t_scalar, jnp.int32)
+        eps = jnp.nan_to_num(
+            eps_fn(x * cin, t).astype(jnp.float32), posinf=1.0, neginf=-1.0
+        )
+        d0 = jnp.clip(jnp.nan_to_num(x - sigma * eps), -10.0, 10.0)
+        return (x - d0) / sigma  # ODE slope d x_hat / d sigma
+
+    x_init = sig[0] * jax.random.normal(key, tuple(shape), jnp.float32)
+
+    def heun_step(x, inp):
+        i = inp
+        sigma, sigma_next = sig[i], sig[i + 1]
+        d = denoise(x, sigma, c_in[i], t_arr[i])
+        x_euler = x + (sigma_next - sigma) * d
+        d2 = denoise(x_euler, sigma_next, c_in[i + 1], t_arr[i + 1])
+        x_next = x + (sigma_next - sigma) * 0.5 * (d + d2)
+        return jnp.nan_to_num(x_next, posinf=1.0, neginf=-1.0), None
+
+    if n > 1:
+        x, _ = jax.lax.scan(heun_step, x_init, jnp.arange(n - 1, dtype=jnp.int32))
+    else:
+        x = x_init
+    # final Euler step sigma_min -> 0: x(0) = clamped denoised prediction
+    d_last = denoise(x, sig[n - 1], c_in[n - 1], t_arr[n - 1])
+    x = x - sig[n - 1] * d_last
+    return jnp.nan_to_num(x, posinf=1.0, neginf=-1.0)
+
+
 # --------------------------------------------------------------------- DDPM
 def ddpm_sample(
     eps_fn: EpsFn,
@@ -288,8 +378,19 @@ class DDPMSampler:
 
 
 class EDMSampler:
-    """EDM sampler — declared-but-unimplemented in the reference too
-    (inference/sampler.py:482-493); kept for API parity / future work."""
+    """Karras-EDM Heun sampler — implemented here; the reference only ships a
+    NotImplementedError stub (inference/sampler.py:482-493)."""
 
     def __init__(self, schedule: DiffusionSchedule, eps_fn: EpsFn):
-        raise NotImplementedError("EDM sampler not yet implemented")
+        self.schedule = schedule
+        self.eps_fn = eps_fn
+        self.timesteps = schedule.timesteps
+
+    def sample(self, shape, conditioning_eps_fn: Optional[EpsFn] = None, *,
+               num_inference_steps: int = 20, key: jax.Array, rho: float = 7.0):
+        fn = conditioning_eps_fn or self.eps_fn
+        return edm_sample(fn, self.schedule, key, shape, num_inference_steps, rho)
+
+    def sample_with_stitching(self, generate_patch_batch, v_thick_full, key, **kw):
+        """Sliding-window full-volume variant (sampler-agnostic blending)."""
+        return sample_with_stitching(generate_patch_batch, v_thick_full, key, **kw)

@@ -201,6 +201,7 @@ class VideoToVideoDiffusion:
         from video_to_video_diffusion_tpu.inference.sampler import (
             ddim_sample,
             ddpm_sample,
+            edm_sample,
         )
 
         f32 = precision == "f32"
@@ -221,6 +222,10 @@ class VideoToVideoDiffusion:
         elif sampler == "ddim":
             z0 = ddim_sample(
                 eps_fn, self.schedule, key, latent_shape, num_inference_steps, eta
+            )
+        elif sampler == "edm":
+            z0 = edm_sample(
+                eps_fn, self.schedule, key, latent_shape, num_inference_steps
             )
         else:
             raise ValueError(f"Unknown sampler: {sampler}")
