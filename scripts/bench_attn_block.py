@@ -8,6 +8,10 @@ attention -> out proj -> residual), at UNet L1/L2 dims.
         einsum lands back in natural (b,d,s,c)
   v3b   v3 with bf16 logits/softmax (halves the logits HBM roundtrip)
 
+A packed variant (2 sites per MXU pass with a block-diagonal softmax mask)
+was also measured and lost — relayout overhead ate the gain; see
+docs/RESULTS.md.
+
 Usage: PYTHONPATH=/root/repo python scripts/bench_attn_block.py
 """
 
@@ -71,42 +75,6 @@ def _v3(x, wqkv, wo, logits_dtype):
     attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     out = jnp.einsum("bhsdf,bhsfe->bhsde", attn.astype(q.dtype), v,
                      preferred_element_type=jnp.float32).astype(q.dtype)
-    wo3 = wo.reshape(HEADS, e, C)
-    y = jnp.einsum("bhsde,hec->bdsc", out, wo3)
-    return y.reshape(B, D, H, W, C) + x
-
-
-def _v4(x, wqkv, wo, logits_dtype, pack=2):
-    """v3 + `pack` sites per dot: rows = pack*D <= 128, block-diagonal mask.
-
-    Masked softmax zeroes the cross-site logits, so the packed computation is
-    exact while issuing 1/pack as many padded tiny MXU passes.
-    """
-    B, D, H, W, C = x.shape
-    S = H * W
-    assert S % pack == 0 and pack * D <= 128
-    e = C // HEADS
-    xs = x.reshape(B, D, S, C)
-    w3 = wqkv.reshape(C, 3, HEADS, e)
-    q = jnp.einsum("bdsc,che->bhsde", xs, w3[:, 0])
-    k = jnp.einsum("bdsc,che->bhsde", xs, w3[:, 1])
-    v = jnp.einsum("bdsc,che->bhsde", xs, w3[:, 2])
-
-    def to_packed(a):  # (b,h,S,d,e) -> (b,h,S/pack, pack*d, e)
-        a = a.reshape(B, HEADS, S // pack, pack, D, e)
-        return a.reshape(B, HEADS, S // pack, pack * D, e)
-
-    qp, kp, vp = to_packed(q), to_packed(k), to_packed(v)
-    scale = e ** -0.5
-    logits = jnp.einsum("bhsde,bhsfe->bhsdf", qp, kp,
-                        preferred_element_type=logits_dtype) * scale
-    site_q = jnp.arange(pack * D) // D
-    mask = (site_q[:, None] == site_q[None, :])
-    logits = jnp.where(mask, logits.astype(jnp.float32), -jnp.inf)
-    attn = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhsdf,bhsfe->bhsde", attn.astype(q.dtype), vp,
-                     preferred_element_type=jnp.float32).astype(q.dtype)
-    out = out.reshape(B, HEADS, S // pack, pack, D, e).reshape(B, HEADS, S, D, e)
     wo3 = wo.reshape(HEADS, e, C)
     y = jnp.einsum("bhsde,hec->bdsc", out, wo3)
     return y.reshape(B, D, H, W, C) + x

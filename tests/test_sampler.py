@@ -131,8 +131,24 @@ def test_edm_sigmas_snap_to_vp_table(sched):
     # descending, snapped exactly onto the trained sigma grid
     assert (np.diff(sigmas) < 0).all()
     np.testing.assert_allclose(sigmas, table[t_idx], rtol=0, atol=0)
-    assert t_idx[0] == sched.timesteps - 1  # starts at sigma_max
+    # starts at the nearest grid point to the sigma_max=80 cap (the cosine
+    # table's own max is huge and would skew the rho grid into pure noise)
+    assert t_idx[0] == np.abs(table - min(80.0, table[-1])).argmin()
     assert t_idx[-1] == 0  # ends at sigma_min
+
+
+def test_edm_sigmas_cap_preserves_step_budget():
+    """On the production 1000-step cosine schedule (table sigma_max ~6e4)
+    the 80-cap keeps the snapped grid at the requested resolution instead
+    of collapsing half the budget into the top few timesteps."""
+    from video_to_video_diffusion_tpu.inference.sampler import edm_sigmas
+
+    sched1000 = make_schedule("cosine", 1000)
+    sigmas, t_idx = edm_sigmas(sched1000, 20)
+    assert len(t_idx) == 20
+    assert sigmas[0] <= 80.0 * 1.05
+    uncapped, t_un = edm_sigmas(sched1000, 20, sigma_max=float("inf"))
+    assert len(t_un) < 20  # documents the failure mode the cap fixes
 
 
 def test_edm_oracle_recovers_x0_exactly(sched):

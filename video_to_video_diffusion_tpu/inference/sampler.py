@@ -98,23 +98,35 @@ def edm_sigmas(
     schedule: DiffusionSchedule,
     num_inference_steps: int,
     rho: float = 7.0,
+    sigma_max: float = 80.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Karras et al. 2022 sigma schedule, snapped to the trained VP grid.
 
     The trained discrete VP schedule induces a sigma table
     sigma_t = sqrt(1 - abar_t) / sqrt(abar_t) (the noise level of
     x_hat = z_t / sqrt(abar_t) = x0 + sigma_t * eps). We lay out
-    `num_inference_steps` rho-spaced sigmas between the table's max and min
-    and snap each to the nearest table entry, so the model is only ever
-    queried at noise levels it was trained on and the discrete timestep
-    conditioning is exact (no continuous-sigma mismatch).
+    `num_inference_steps` rho-spaced sigmas between min(sigma_max, table max)
+    and the table's min and snap each to the nearest table entry, so the
+    model is only ever queried at noise levels it was trained on and the
+    discrete timestep conditioning is exact (no continuous-sigma mismatch).
+
+    `sigma_max` caps the top of the grid at EDM's standard 80: the cosine
+    schedule's table maximum is ~6e4 (abar_T ~ 3e-10), and anchoring the
+    rho-grid there would spend most of the step budget above sigma ~ 900
+    (pure noise) and collapse the snapped grid to a fraction of the
+    requested steps; above sigma ~ 80 the denoiser's output is
+    indistinguishable from its prior mean anyway. Pass float('inf') for the
+    uncapped table range (linear schedules, whose max is ~157, are barely
+    affected either way).
 
     Returns (sigmas (n,), t_indices (n,)) with sigmas descending; the
-    terminal sigma=0 is NOT included (samplers append it).
+    terminal sigma=0 is NOT included (samplers append it). n can be slightly
+    below num_inference_steps if adjacent grid points snap to the same table
+    entry (only relevant for very short tables).
     """
     abar = np.asarray(schedule.alphas_cumprod, np.float64)
     sigma_table = np.sqrt((1.0 - abar) / abar)  # ascending in t
-    s_min, s_max = sigma_table[0], sigma_table[-1]
+    s_min, s_max = sigma_table[0], min(float(sigma_max), sigma_table[-1])
     i = np.arange(num_inference_steps, dtype=np.float64)
     frac = i / max(num_inference_steps - 1, 1)
     sig = (
@@ -132,6 +144,7 @@ def edm_sample(
     shape: Sequence[int],
     num_inference_steps: int = 20,
     rho: float = 7.0,
+    sigma_max: float = 80.0,
 ) -> jnp.ndarray:
     """EDM (Karras) deterministic Heun sampler over the probability-flow ODE.
 
@@ -147,7 +160,7 @@ def edm_sample(
 
     Deterministic under a fixed key (noise enters only at initialization).
     """
-    sigmas, t_idx = edm_sigmas(schedule, num_inference_steps, rho)
+    sigmas, t_idx = edm_sigmas(schedule, num_inference_steps, rho, sigma_max)
     n = len(sigmas)
     sig = jnp.asarray(np.append(sigmas, 0.0), jnp.float32)  # (n+1,) descending
     c_in = jnp.asarray(1.0 / np.sqrt(1.0 + sigmas ** 2), jnp.float32)

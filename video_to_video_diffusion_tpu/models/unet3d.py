@@ -131,7 +131,7 @@ class TemporalAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, D, H, W, C = x.shape
-        assert C % self.num_heads == 0, "channels must divide num_heads"
+        assert C % self.num_heads == 0, "num_heads must divide channels"
         hd, e = self.num_heads, C // self.num_heads
         residual = x
         h = GroupNorm(num_groups=adaptive_num_groups(C), name="norm")(x)

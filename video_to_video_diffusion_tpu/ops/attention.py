@@ -1,11 +1,14 @@
-"""Depth-axis (temporal) self-attention core.
+"""Depth-axis (temporal) self-attention core — standalone dispatch.
 
-The only attention in the system attends along the slice/depth axis with
-H and W folded into batch (reference: models/unet3d.py:163-194). Sequence
-length is tiny (T <= 48 latent slices), so the op is bandwidth-bound; the
-Pallas path (ops/pallas/depth_attention.py) fuses QK^T -> softmax -> AV in
-VMEM per (batch, head) tile. The jnp path below is the portable reference
-implementation (softmax in f32 for bf16 safety).
+NOT the production UNet path: models/unet3d.py::TemporalAttention inlines a
+lane-aligned einsum formulation that fuses the head layout into the qkv/out
+projections (measured faster on v5e — see docs/RESULTS.md). This module is
+kept as (a) the portable reference implementation the tests pin numerics
+against, (b) the Pallas opt-in (ops/pallas/depth_attention.py fuses
+QK^T -> softmax -> AV in VMEM per (batch, head) tile; measured slower than
+XLA's batched-dot lowering on v5e, re-benchmarkable via
+scripts/bench_pallas.py), exercised by tests/test_pallas.py. Sequence
+length is tiny (T <= 48 latent slices; reference models/unet3d.py:163-194).
 """
 
 from __future__ import annotations
