@@ -213,3 +213,43 @@ def test_load_model_from_checkpoint_formats(tmp_path):
     params, meta = load_model_from_checkpoint(p)
     assert set(params) == {"vae", "unet"}
     assert meta["epoch"] == 1
+
+
+def test_trainer_one_epoch_on_mesh(tmp_path):
+    """Full Trainer wiring over the 8-virtual-device ('data','tensor') mesh:
+    params sharded at init, batches sharded per step, checkpoints written —
+    the CLI path train.py takes when hardware.distributed is set."""
+    from video_to_video_diffusion_tpu.parallel.mesh import make_mesh
+
+    cfg = _tiny_cfg(tmp_path, **{"data.batch_size": 4})
+    model = VideoToVideoDiffusion(cfg)
+    train_loader = get_unified_dataloader(cfg, "train")
+    val_loader = get_unified_dataloader(cfg, "val")
+    mesh = make_mesh(8, tensor_parallel=2)
+    tr = Trainer(model, cfg, train_loader, val_loader, mesh=mesh)
+    out = tr.train()
+    assert "patch_loss" in out and np.isfinite(out["patch_loss"])
+    # params actually live sharded on the mesh
+    leaf = jax.tree_util.tree_leaves(tr.state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+    names = os.listdir(tr.ckpt_dir)
+    assert any(n.startswith("checkpoint_best_epoch_") for n in names)
+
+
+def test_trainer_mesh_matches_single_device_loss(tmp_path):
+    """Same data, same seed: the mesh-sharded first-epoch loss equals the
+    single-device loss (the dp psum is an exact mean, tp is a layout change)."""
+    from video_to_video_diffusion_tpu.parallel.mesh import make_mesh
+
+    cfg = _tiny_cfg(tmp_path, **{"data.batch_size": 4})
+    model = VideoToVideoDiffusion(cfg)
+    out1 = Trainer(
+        model, cfg, get_unified_dataloader(cfg, "train"), None, rng_seed=3
+    ).train()
+    cfg2 = _tiny_cfg(tmp_path / "m", **{"data.batch_size": 4})
+    model2 = VideoToVideoDiffusion(cfg2)
+    out2 = Trainer(
+        model2, cfg2, get_unified_dataloader(cfg2, "train"), None,
+        mesh=make_mesh(8, tensor_parallel=2), rng_seed=3,
+    ).train()
+    np.testing.assert_allclose(out1["loss"], out2["loss"], rtol=2e-4, atol=2e-5)

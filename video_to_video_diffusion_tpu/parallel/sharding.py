@@ -61,9 +61,20 @@ def shard_params(params: Any, mesh: Mesh, specs: Any = None) -> Any:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """device_put a host batch with the leading axis split over 'data'."""
+    """device_put a host batch with the leading axis split over 'data'.
+
+    Arrays whose leading axis is not divisible by the 'data' mesh axis (e.g.
+    a short validation batch, or a last partial batch without drop_last) are
+    replicated instead — correct, just not data-parallel for that batch.
+    """
     sh = batch_sharding(mesh)
-    return {
-        k: jax.device_put(v, sh) if hasattr(v, "shape") else v
-        for k, v in batch.items()
-    }
+    repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    n_data = mesh.shape[DATA_AXIS]
+
+    def put(v):
+        if not hasattr(v, "shape"):
+            return v
+        fits = v.ndim >= 1 and v.shape[0] % n_data == 0
+        return jax.device_put(v, sh if fits else repl)
+
+    return {k: put(v) for k, v in batch.items()}

@@ -411,6 +411,7 @@ class Trainer:
             if hasattr(self.train_loader, "set_epoch"):
                 self.train_loader.set_epoch(epoch)
             stats = self.train_epoch()
+            last["loss"] = stats["loss"]
             self.logger.info(
                 "epoch %d: loss=%.5f data_t=%.1fs step_t=%.1fs",
                 epoch, stats["loss"], stats["data_time"], stats["step_time"],
