@@ -55,11 +55,14 @@ def main(argv=None):
     params = restored["params"]
 
     loader = get_unified_dataloader(cfg, args.split)
-    if args.sampler == "ddim":
+    if args.sampler in ("ddim", "edm"):
         from video_to_video_diffusion_tpu.inference.pipeline import staged_generate
 
         def gen(v, k, td):
-            return staged_generate(model, params, v, k, args.steps, target_depth=td)
+            return staged_generate(
+                model, params, v, k, args.steps, target_depth=td,
+                sampler=args.sampler,
+            )
     else:
         _g = jax.jit(
             lambda v, k, td: model.generate(params, v, k, args.sampler, args.steps, target_depth=td),

@@ -46,3 +46,22 @@ def test_generate_volume_vae_batch_invariance(tiny):
     a = generate_volume(model, params, v, jax.random.PRNGKey(4), vae_batch=3, **kw)
     b = generate_volume(model, params, v, jax.random.PRNGKey(4), vae_batch=9, **kw)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_generate_volume_edm_sampler(tiny):
+    """The pipelined path runs the EDM Heun scan when sampler='edm'."""
+    model, params = tiny
+    v = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 64, 64, 1))
+    out = generate_volume(
+        model, params, v, jax.random.PRNGKey(2), num_inference_steps=3,
+        patch_size=(4, 32, 32), target_patch_size=(8, 32, 32),
+        stride=(2, 16, 16), vae_batch=4, sampler="edm",
+    )
+    assert out.shape == (1, 8, 64, 64, 1)
+    assert np.isfinite(np.asarray(out)).all()
+    ddim = generate_volume(
+        model, params, v, jax.random.PRNGKey(2), num_inference_steps=3,
+        patch_size=(4, 32, 32), target_patch_size=(8, 32, 32),
+        stride=(2, 16, 16), vae_batch=4,
+    )
+    assert not np.allclose(np.asarray(out), np.asarray(ddim))

@@ -30,6 +30,7 @@ import numpy as np
 
 from video_to_video_diffusion_tpu.inference.sampler import (
     ddim_sample,
+    edm_sample,
     gaussian_weight_3d,
     stitch_positions,
 )
@@ -86,6 +87,7 @@ def staged_generate(
     num_inference_steps: int = 20,
     target_depth: Optional[int] = None,
     eta: float = 0.0,
+    sampler: str = "ddim",
 ) -> jnp.ndarray:
     """generate() semantics through three independently compiled stages.
 
@@ -106,10 +108,12 @@ def staged_generate(
         def eps(z, t):
             return model.apply_unet(p, z, t, z_c).astype(jnp.float32)
 
+        if sampler == "edm":
+            return edm_sample(eps, model.schedule, k, z_c.shape, num_inference_steps)
         return ddim_sample(eps, model.schedule, k, z_c.shape, num_inference_steps, eta)
 
     sample = _cached(
-        "ddim", (id(model), num_inference_steps, eta) + tuple(z_in.shape),
+        sampler, (id(model), num_inference_steps, eta) + tuple(z_in.shape),
         lambda: jax.jit(_sample),
     )
     z0 = sample(params, z_in, key)
@@ -134,6 +138,7 @@ def generate_volume(
     stride: Tuple[int, int, int] = (4, 96, 96),
     vae_batch: int = 5,
     eta: float = 0.0,
+    sampler: str = "ddim",
 ) -> jnp.ndarray:
     """Full thick->thin volume generation, pipelined.
 
@@ -179,15 +184,17 @@ def generate_volume(
     if ratio != 1:
         z_in = resize_trilinear(z_in, (z_in.shape[1] * ratio, z_in.shape[2], z_in.shape[3]))
 
-    # ---- batched DDIM over the whole grid ----
+    # ---- batched DDIM (or EDM Heun) scan over the whole grid ----
     def _sample(p, z_c, k):
         def eps(z, t):
             return model.apply_unet(p, z, t, z_c).astype(jnp.float32)
 
+        if sampler == "edm":
+            return edm_sample(eps, model.schedule, k, z_c.shape, num_inference_steps)
         return ddim_sample(eps, model.schedule, k, z_c.shape, num_inference_steps, eta)
 
     sample = _cached(
-        "ddim", (id(model), num_inference_steps, eta, Np) + tuple(z_in.shape[1:]),
+        sampler, (id(model), num_inference_steps, eta, Np) + tuple(z_in.shape[1:]),
         lambda: jax.jit(_sample),
     )
     z0 = sample(params, z_in, key)
