@@ -253,3 +253,30 @@ def test_trainer_mesh_matches_single_device_loss(tmp_path):
         mesh=make_mesh(8, tensor_parallel=2), rng_seed=3,
     ).train()
     np.testing.assert_allclose(out1["loss"], out2["loss"], rtol=2e-4, atol=2e-5)
+
+
+def test_resolve_vae_checkpoint_from_ancestor_dir(tmp_path):
+    """Pointing pretrained.vae.checkpoint_path at the trainer's checkpoint
+    ROOT (not the exact orbax dir) resolves to the newest vae_best_* below
+    it, skipping interrupted .orbax-checkpoint-tmp saves."""
+    import time as _time
+    from video_to_video_diffusion_tpu.training.train import _resolve_vae_checkpoint
+
+    root = tmp_path / "ckpt_vae"
+    old = root / "exp" / "vae_best_old"
+    new = root / "exp" / "vae_best_new"
+    tmp = root / "exp" / "vae_best_x.orbax-checkpoint-tmp"
+    for d in (old, new, tmp):
+        d.mkdir(parents=True)
+    _time.sleep(0.05)
+    new.touch()  # newest mtime
+    assert _resolve_vae_checkpoint(str(root)) == str(new)
+    # exact dir passes through untouched; missing path passes through
+    assert _resolve_vae_checkpoint(str(new)) == str(new)
+    assert _resolve_vae_checkpoint(str(root / "nope")) == str(root / "nope")
+    # epoch checkpoints are the fallback when no best exists
+    for d in (old, new, tmp):
+        d.rmdir()
+    ep = root / "exp" / "vae_epoch_0003_s"
+    ep.mkdir(parents=True)
+    assert _resolve_vae_checkpoint(str(root)) == str(ep)

@@ -28,14 +28,41 @@ from video_to_video_diffusion_tpu.utils.checkpoint import (
 from video_to_video_diffusion_tpu.utils.logger import setup_logger
 
 
+def _resolve_vae_checkpoint(checkpoint_path: str) -> str:
+    """Accept a checkpoint dir OR an ancestor directory of one.
+
+    When pointed at e.g. the VAE trainer's checkpoint_dir root (which holds
+    <experiment>/vae_best_*/...), pick the newest vae_best_* anywhere below,
+    falling back to the newest vae_epoch_* — the path-discovery half of the
+    reference's VAE loading (training/train.py:77-106 + shell glob in
+    kub_files/vae-training-job-a100.yaml:35-60).
+    """
+    import glob as _glob
+    import os as _os
+
+    p = str(checkpoint_path)
+    if not _os.path.isdir(p):
+        return p  # let load_checkpoint raise its FileNotFoundError
+    for pat in ("vae_best_*", "vae_epoch_*"):
+        hits = [
+            h
+            for h in _glob.glob(_os.path.join(p, "**", pat), recursive=True)
+            if _os.path.isdir(h) and not h.endswith(".orbax-checkpoint-tmp")
+        ]
+        if hits:
+            return max(hits, key=_os.path.getmtime)
+    return p
+
+
 def load_vae_into_params(params, checkpoint_path: str):
     """Replace params['vae'] with a VAE checkpoint's weights.
 
-    Accepts either a VAETrainer checkpoint ({'params': vae_params, ...}) or a
-    full diffusion checkpoint ({'params': {'vae': ..., 'unet': ...}}) — the
+    Accepts either a VAETrainer checkpoint ({'params': vae_params, ...}), a
+    full diffusion checkpoint ({'params': {'vae': ..., 'unet': ...}}), or a
+    directory containing vae_best_*/vae_epoch_* checkpoints — the
     multi-format sniffing the reference does at training/train.py:77-106.
     """
-    restored, _meta = load_checkpoint(checkpoint_path)
+    restored, _meta = load_checkpoint(_resolve_vae_checkpoint(checkpoint_path))
     inner = restored.get("params", restored)
     if "vae" in inner:
         vae_params = inner["vae"]
