@@ -280,3 +280,70 @@ def test_resolve_vae_checkpoint_from_ancestor_dir(tmp_path):
     ep = root / "exp" / "vae_epoch_0003_s"
     ep.mkdir(parents=True)
     assert _resolve_vae_checkpoint(str(root)) == str(ep)
+
+
+def test_ema_params_track_and_checkpoint(tmp_path):
+    """With training.ema_decay set: ema follows d*ema + (1-d)*params each
+    micro-step, validation uses the average, and checkpoints roundtrip it."""
+    cfg = _tiny_cfg(tmp_path, **{"training.ema_decay": 0.9})
+    model = VideoToVideoDiffusion(cfg)
+    train_loader = get_unified_dataloader(cfg, "train")
+    tr = Trainer(model, cfg, train_loader, get_unified_dataloader(cfg, "val"))
+    assert tr.state.ema_params is not None
+    p0 = jax.device_get(jax.tree_util.tree_leaves(tr.state.params)[0])
+    tr.train()
+    leaves_p = jax.tree_util.tree_leaves(tr.state.params)
+    leaves_e = jax.tree_util.tree_leaves(tr.state.ema_params)
+    # ema moved off the init value but lags the live params
+    assert not np.allclose(np.asarray(leaves_e[0]), p0)
+    assert not np.array_equal(np.asarray(leaves_e[0]), np.asarray(leaves_p[0]))
+    assert tr.eval_params is tr.state.ema_params
+    # roundtrip through the best checkpoint
+    best = find_best_checkpoint(tr.ckpt_dir, tr.suffix)
+    tr2 = Trainer(model, cfg, train_loader, None)
+    tr2.load_checkpoint(best)
+    a = jax.tree_util.tree_leaves(tr.state.ema_params)[0]
+    b = jax.tree_util.tree_leaves(tr2.state.ema_params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ema_single_step_closed_form():
+    """One optimizer step: ema = d*init + (1-d)*new_params exactly."""
+    import optax
+    from video_to_video_diffusion_tpu.training.state import (
+        create_train_state,
+        make_train_step,
+    )
+
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    tx = optax.sgd(0.1)
+    state = create_train_state(params, tx, ema=True)
+
+    def loss_fn(p, batch, key):
+        return jnp.sum(p["w"] ** 2), {}
+
+    step = jax.jit(make_train_step(loss_fn, tx, ema_decay=0.5))
+    new_state, _ = step(state, {}, jax.random.PRNGKey(0))
+    # sgd: w' = 1 - 0.1*2 = 0.8; ema = 0.5*1 + 0.5*0.8 = 0.9
+    np.testing.assert_allclose(np.asarray(new_state.params["w"]), 0.8, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_state.ema_params["w"]), 0.9, rtol=1e-6)
+
+
+def test_ema_off_keeps_none():
+    import optax
+    from video_to_video_diffusion_tpu.training.state import (
+        create_train_state,
+        make_train_step,
+    )
+
+    params = {"w": jnp.ones((2,), jnp.float32)}
+    tx = optax.sgd(0.1)
+    state = create_train_state(params, tx, ema=False)
+    assert state.ema_params is None
+
+    def loss_fn(p, batch, key):
+        return jnp.sum(p["w"] ** 2), {}
+
+    step = jax.jit(make_train_step(loss_fn, tx))
+    new_state, _ = step(state, {}, jax.random.PRNGKey(0))
+    assert new_state.ema_params is None

@@ -203,6 +203,9 @@ class TrainingConfig:
     final_val_enabled: bool = True
     final_val_full_volumes: bool = False
     log_interval: int = 100
+    # EMA of model params (0.0 = off). Beyond the reference: validation and
+    # checkpointed eval weights use the average when enabled.
+    ema_decay: float = 0.0
     output_dir: str = "outputs"
     log_dir: str = "logs"
     checkpoint_dir: str = "checkpoints"

@@ -26,6 +26,10 @@ class TrainState:
     step: jnp.ndarray  # micro-steps (MultiSteps inner counter mirrors this)
     params: Any
     opt_state: Any
+    # Exponential moving average of params (None when EMA is disabled).
+    # Beyond the reference: standard diffusion practice — sampling from the
+    # EMA weights smooths late-training oscillation.
+    ema_params: Any = None
 
 
 def param_group_label(path: Tuple, _leaf=None) -> str:
@@ -95,19 +99,36 @@ def make_optimizer(
     return tx, schedule
 
 
-def create_train_state(params: Any, tx: optax.GradientTransformation) -> TrainState:
+def create_train_state(
+    params: Any, tx: optax.GradientTransformation, ema: bool = False
+) -> TrainState:
     return TrainState(
-        step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params)
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        # explicit copy: sharing buffers with params breaks jit donation
+        ema_params=(
+            jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+            if ema
+            else None
+        ),
     )
 
 
-def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation):
+def make_train_step(
+    loss_fn: Callable, tx: optax.GradientTransformation, ema_decay: float = 0.0
+):
     """Build a jittable train step.
 
     loss_fn(params, batch, key) -> (loss, metrics dict). The returned step
     computes grads, applies the (possibly accumulating) optimizer, and
     reports loss + global grad norm. With a ('data',)-sharded batch under
     jit, XLA inserts the gradient psum automatically.
+
+    ema_decay > 0 maintains state.ema_params <- d*ema + (1-d)*params after
+    every micro-step (between accumulation boundaries params are unchanged,
+    so the extra applications are exact no-ops on the average's direction,
+    only compounding the decay).
     """
 
     def train_step(state: TrainState, batch: Dict, key: jax.Array):
@@ -119,11 +140,26 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation):
         )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if ema_decay > 0.0 and state.ema_params is not None:
+            d = jnp.asarray(ema_decay, jnp.float32)
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: (d * e.astype(jnp.float32)
+                              + (1.0 - d) * p.astype(jnp.float32)).astype(e.dtype),
+                state.ema_params,
+                new_params,
+            )
+        else:
+            new_ema = state.ema_params
         metrics = dict(metrics)
         metrics["loss"] = loss
         metrics["grad_norm"] = optax.global_norm(grads)
         return (
-            TrainState(step=state.step + 1, params=new_params, opt_state=new_opt_state),
+            TrainState(
+                step=state.step + 1,
+                params=new_params,
+                opt_state=new_opt_state,
+                ema_params=new_ema,
+            ),
             metrics,
         )
 

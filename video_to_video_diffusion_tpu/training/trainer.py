@@ -87,14 +87,18 @@ class Trainer:
         )
         if mesh is not None:
             params = shard_params(params, mesh)
-        self.state = create_train_state(params, self.tx)
+        ema_decay = self.config.training.ema_decay
+        self.state = create_train_state(params, self.tx, ema=ema_decay > 0.0)
 
         def loss_fn(p, batch, key):
             return model.loss_fn(
                 p, batch["input"], batch["target"], key, mask=batch.get("thin_mask")
             )
 
-        self._train_step = jax.jit(make_train_step(loss_fn, self.tx), donate_argnums=(0,))
+        self._train_step = jax.jit(
+            make_train_step(loss_fn, self.tx, ema_decay=ema_decay),
+            donate_argnums=(0,),
+        )
         self._eval_loss = jax.jit(
             lambda p, batch, key: loss_fn(p, batch, key)[0]
         )
@@ -144,7 +148,13 @@ class Trainer:
         self.tx, self.lr_schedule = make_optimizer(
             self.config, self.state.params, total, steps_per_epoch, lr_multipliers=mults
         )
-        self.state = create_train_state(self.state.params, self.tx)
+        ema_decay = t.ema_decay
+        prev_ema = self.state.ema_params
+        self.state = create_train_state(
+            self.state.params, self.tx, ema=ema_decay > 0.0
+        )
+        if prev_ema is not None:
+            self.state = self.state.replace(ema_params=prev_ema)
         model = self.model
 
         def loss_fn(pp, batch, key):
@@ -152,7 +162,10 @@ class Trainer:
                 pp, batch["input"], batch["target"], key, mask=batch.get("thin_mask")
             )
 
-        self._train_step = jax.jit(make_train_step(loss_fn, self.tx), donate_argnums=(0,))
+        self._train_step = jax.jit(
+            make_train_step(loss_fn, self.tx, ema_decay=ema_decay),
+            donate_argnums=(0,),
+        )
         self.logger.info("entered training phase %d (lr multipliers %s)", phase, mults)
 
     # ----------------------------------------------------------------- utils
@@ -165,6 +178,16 @@ class Trainer:
     def _next_key(self) -> jax.Array:
         self.key, k = jax.random.split(self.key)
         return k
+
+    @property
+    def eval_params(self):
+        """Weights used for validation/generation: the EMA average when
+        training.ema_decay > 0, else the live params."""
+        return (
+            self.state.ema_params
+            if self.state.ema_params is not None
+            else self.state.params
+        )
 
     # ----------------------------------------------------------------- train
     def train_epoch(self) -> Dict[str, float]:
@@ -234,7 +257,7 @@ class Trainer:
         for i, (batch, vkey) in enumerate(self._val_iter()):
             if max_batches is not None and i >= max_batches:
                 break
-            losses.append(self._eval_loss(self.state.params, batch, vkey))
+            losses.append(self._eval_loss(self.eval_params, batch, vkey))
         val = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
         self.writer.add_scalar("val/loss", val, self.global_step)
         return val
@@ -253,11 +276,11 @@ class Trainer:
         losses, psnrs, ssims = [], [], []
         seen = 0
         for batch, vkey in self._val_iter():
-            losses.append(self._eval_loss(self.state.params, batch, vkey))
+            losses.append(self._eval_loss(self.eval_params, batch, vkey))
             if generate:
                 target_depth = batch["target"].shape[1]
                 gen = self._jitted_generate(20, target_depth)(
-                    self.state.params, batch["input"], vkey
+                    self.eval_params, batch["input"], vkey
                 )
                 m = calculate_video_metrics(
                     from_model_range(np.asarray(gen)),
@@ -302,7 +325,7 @@ class Trainer:
                 thick = thick[:, :n_thick]
                 out = generate_volume(
                     self.model,
-                    self.state.params,
+                    self.eval_params,
                     thick,
                     self._next_key(),
                     num_inference_steps=steps,
@@ -344,7 +367,10 @@ class Trainer:
 
     # ----------------------------------------------------------- checkpoints
     def _ckpt_state(self):
-        return {"params": self.state.params, "opt_state": self.state.opt_state}
+        out = {"params": self.state.params, "opt_state": self.state.opt_state}
+        if self.state.ema_params is not None:
+            out["ema_params"] = self.state.ema_params
+        return out
 
     def _metadata(self):
         return {
@@ -391,11 +417,36 @@ class Trainer:
             if saved_phase != self.current_phase:
                 self.set_phase(saved_phase)
         target = self._ckpt_state()
-        restored, meta = load_checkpoint(path, target=jax.device_get(target))
+        base = {"params": target["params"], "opt_state": target["opt_state"]}
+        # Graceful EMA structure mismatch (reference analogue: non-strict
+        # state-dict fallback, trainer.py:828-841): a checkpoint may have
+        # been written with the opposite training.ema_decay setting.
+        attempts = (
+            [target, base]
+            if "ema_params" in target
+            else [target, {**base, "ema_params": base["params"]}]
+        )
+        restored = meta = err = None
+        for tgt in attempts:
+            try:
+                restored, meta = load_checkpoint(path, target=jax.device_get(tgt))
+                break
+            except Exception as e:  # noqa: BLE001 — orbax raises various types
+                err = e
+        if restored is None:
+            raise err
+        ema = restored.get("ema_params") if "ema_params" in target else None
+        if ema is None and "ema_params" in target:
+            # EMA enabled but checkpoint predates it: seed from the params
+            ema = jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), restored["params"]
+            )
+            self.logger.info("checkpoint has no EMA state; seeded from params")
         self.state = TrainState(
             step=jnp.asarray(meta.get("micro_step", 0), jnp.int32),
             params=restored["params"],
             opt_state=restored["opt_state"],
+            ema_params=ema,
         )
         if self.mesh is not None:
             self.state = self.state.replace(
