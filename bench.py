@@ -13,8 +13,8 @@ edge-snapped — inference/sampler.py:388-395), so the full volume costs
 This benchmark runs the same grid on one TPU chip through the pipelined
 stitcher (inference/pipeline.py): all 25 patches go through ONE batched DDIM
 scan (bf16 UNet, f32 sampler math — batch 25 keeps the MXU fed), while the
-HBM-bound VAE encode/decode run in chunks of 5. Measured v5e-1: ~62 s steady
-vs 750 s reference (~12x).
+HBM-bound VAE encode/decode run in chunks of 5. Measured v5e-1: ~55.7 s
+steady vs 750 s reference (~13.5x, after the lane-aligned attention layout).
 
 Env knobs:
   BENCH_STEPS   DDIM steps (default 50)
