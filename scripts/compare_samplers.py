@@ -55,7 +55,9 @@ def main() -> None:
 
     model = VideoToVideoDiffusion(cfg)
     restored, _ = load_checkpoint(args.checkpoint)
-    params = restored["params"]
+    # prefer the EMA average when present: best-checkpoint selection during
+    # training scores the EMA weights, so they are the certified ones
+    params = restored.get("ema_params") if restored.get("ema_params") is not None else restored["params"]
 
     loader = get_unified_dataloader(cfg, "val")
     batches = []
@@ -79,7 +81,13 @@ def main() -> None:
                 gt01 = (v_gt + 1.0) / 2.0
                 psnrs.append(float(calculate_psnr(pred01, gt01)))
                 ssims.append(float(calculate_ssim(pred01, gt01)))
-            nfe = 2 * steps - 1 if sampler == "edm" else steps
+            if sampler == "edm":
+                from video_to_video_diffusion_tpu.inference.sampler import edm_sigmas
+
+                # actual grid can be shorter than requested (dedup on snap)
+                nfe = 2 * len(edm_sigmas(model.schedule, steps)[0]) - 1
+            else:
+                nfe = steps
             row = {
                 "sampler": sampler,
                 "steps": steps,

@@ -52,7 +52,13 @@ def main(argv=None):
     configure_platform(cfg.hardware.device)
     model = VideoToVideoDiffusion(cfg)
     restored, _meta = load_checkpoint(args.checkpoint)
-    params = restored["params"]
+    # EMA-trained checkpoints: evaluate the averaged weights (the ones
+    # training-time best-checkpoint selection scored)
+    params = (
+        restored["ema_params"]
+        if restored.get("ema_params") is not None
+        else restored["params"]
+    )
 
     loader = get_unified_dataloader(cfg, args.split)
     if args.sampler in ("ddim", "edm"):

@@ -280,6 +280,10 @@ def test_resolve_vae_checkpoint_from_ancestor_dir(tmp_path):
     ep = root / "exp" / "vae_epoch_0003_s"
     ep.mkdir(parents=True)
     assert _resolve_vae_checkpoint(str(root)) == str(ep)
+    # suffix-less names (model_suffix='' writes literally 'vae_best') match
+    bare = root / "exp" / "vae_best"
+    bare.mkdir()
+    assert _resolve_vae_checkpoint(str(root)) == str(bare)
 
 
 def test_ema_params_track_and_checkpoint(tmp_path):

@@ -60,21 +60,40 @@ def shard_params(params: Any, mesh: Mesh, specs: Any = None) -> Any:
     )
 
 
+_warned_replicated = False
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """device_put a host batch with the leading axis split over 'data'.
 
     Arrays whose leading axis is not divisible by the 'data' mesh axis (e.g.
     a short validation batch, or a last partial batch without drop_last) are
-    replicated instead — correct, just not data-parallel for that batch.
+    replicated instead — correct, just not data-parallel for that batch. The
+    first such fallback logs a warning: if EVERY batch hits it (batch_size
+    not divisible by the data-axis size), training silently runs fully
+    replicated, which is a configuration error worth surfacing.
     """
+    import logging
+
+    global _warned_replicated
     sh = batch_sharding(mesh)
     repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
     n_data = mesh.shape[DATA_AXIS]
 
-    def put(v):
+    def put(k, v):
+        global _warned_replicated
         if not hasattr(v, "shape"):
             return v
         fits = v.ndim >= 1 and v.shape[0] % n_data == 0
+        if not fits and not _warned_replicated:
+            _warned_replicated = True
+            logging.getLogger("sharding").warning(
+                "batch array %r (leading dim %d) is not divisible by the "
+                "'data' mesh axis (%d); replicating it. If this happens for "
+                "every training batch, set data.batch_size to a multiple of "
+                "the data-axis size.",
+                k, v.shape[0] if v.ndim else 0, n_data,
+            )
         return jax.device_put(v, sh if fits else repl)
 
-    return {k: put(v) for k, v in batch.items()}
+    return {k: put(k, v) for k, v in batch.items()}

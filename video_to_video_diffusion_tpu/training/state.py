@@ -116,7 +116,10 @@ def create_train_state(
 
 
 def make_train_step(
-    loss_fn: Callable, tx: optax.GradientTransformation, ema_decay: float = 0.0
+    loss_fn: Callable,
+    tx: optax.GradientTransformation,
+    ema_decay: float = 0.0,
+    accum_steps: int = 1,
 ):
     """Build a jittable train step.
 
@@ -125,10 +128,10 @@ def make_train_step(
     reports loss + global grad norm. With a ('data',)-sharded batch under
     jit, XLA inserts the gradient psum automatically.
 
-    ema_decay > 0 maintains state.ema_params <- d*ema + (1-d)*params after
-    every micro-step (between accumulation boundaries params are unchanged,
-    so the extra applications are exact no-ops on the average's direction,
-    only compounding the decay).
+    ema_decay > 0 maintains state.ema_params <- d*ema + (1-d)*params, gated
+    to accumulation boundaries (pass accum_steps = the MultiSteps factor):
+    applying the decay every micro-step would compound it to d^accum per
+    optimizer update, so literature decay values would mis-transfer.
     """
 
     def train_step(state: TrainState, batch: Dict, key: jax.Array):
@@ -141,7 +144,8 @@ def make_train_step(
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         if ema_decay > 0.0 and state.ema_params is not None:
-            d = jnp.asarray(ema_decay, jnp.float32)
+            at_boundary = (state.step + 1) % max(accum_steps, 1) == 0
+            d = jnp.where(at_boundary, jnp.float32(ema_decay), jnp.float32(1.0))
             new_ema = jax.tree_util.tree_map(
                 lambda e, p: (d * e.astype(jnp.float32)
                               + (1.0 - d) * p.astype(jnp.float32)).astype(e.dtype),

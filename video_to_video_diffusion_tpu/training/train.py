@@ -43,7 +43,7 @@ def _resolve_vae_checkpoint(checkpoint_path: str) -> str:
     p = str(checkpoint_path)
     if not _os.path.isdir(p):
         return p  # let load_checkpoint raise its FileNotFoundError
-    for pat in ("vae_best_*", "vae_epoch_*"):
+    for pat in ("vae_best*", "vae_epoch*"):
         hits = [
             h
             for h in _glob.glob(_os.path.join(p, "**", pat), recursive=True)

@@ -96,7 +96,10 @@ class Trainer:
             )
 
         self._train_step = jax.jit(
-            make_train_step(loss_fn, self.tx, ema_decay=ema_decay),
+            make_train_step(
+                loss_fn, self.tx, ema_decay=ema_decay,
+                accum_steps=t.gradient_accumulation_steps,
+            ),
             donate_argnums=(0,),
         )
         self._eval_loss = jax.jit(
@@ -151,7 +154,8 @@ class Trainer:
         ema_decay = t.ema_decay
         prev_ema = self.state.ema_params
         self.state = create_train_state(
-            self.state.params, self.tx, ema=ema_decay > 0.0
+            self.state.params, self.tx,
+            ema=ema_decay > 0.0 and prev_ema is None,
         )
         if prev_ema is not None:
             self.state = self.state.replace(ema_params=prev_ema)
@@ -163,7 +167,10 @@ class Trainer:
             )
 
         self._train_step = jax.jit(
-            make_train_step(loss_fn, self.tx, ema_decay=ema_decay),
+            make_train_step(
+                loss_fn, self.tx, ema_decay=ema_decay,
+                accum_steps=t.gradient_accumulation_steps,
+            ),
             donate_argnums=(0,),
         )
         self.logger.info("entered training phase %d (lr multipliers %s)", phase, mults)
@@ -222,25 +229,38 @@ class Trainer:
         }
 
     # ------------------------------------------------------------ validation
-    def _val_iter(self):
-        """Validation batches with pinned randomness, memoized host-side.
+    _VAL_CACHE_BATCHES = 16  # cap on device-pinned validation batches
+
+    def _val_iter(self, max_batches: Optional[int] = None):
+        """Validation batches with pinned randomness, memoized on device.
 
         Both the patch draw (loader epoch) and the diffusion timestep/noise
         keys are fixed across validations — diffusion loss varies ~100x over
         timesteps, so a freshly-sampled eval would rank checkpoints by draw
         luck rather than model quality. Because the draws are pinned, the
-        materialized batches are cached after the first pass: re-extracting
-        them cost ~34 s of host time per epoch on v5e (vs ~6 s of actual
-        training compute) before the cache.
+        first _VAL_CACHE_BATCHES batches are device_put once and replayed:
+        re-extracting + re-uploading them cost ~34 s of host time per epoch
+        on v5e (vs ~6 s of training compute). Callers needing more than the
+        cap (final_validate over everything) stream fresh from the loader —
+        identical draws, just not pinned in HBM.
         """
+        cap = self._VAL_CACHE_BATCHES
+        val_key = jax.random.PRNGKey(10_000)
+        if max_batches is None or max_batches > cap:
+            if hasattr(self.val_loader, "set_epoch"):
+                self.val_loader.set_epoch(0)
+            for i, batch in enumerate(self.val_loader):
+                yield self._put(batch), jax.random.fold_in(val_key, i)
+            return
         if self._val_cache is None:
             if hasattr(self.val_loader, "set_epoch"):
                 self.val_loader.set_epoch(0)
-            val_key = jax.random.PRNGKey(10_000)
-            self._val_cache = [
-                (self._put(batch), jax.random.fold_in(val_key, i))
-                for i, batch in enumerate(self.val_loader)
-            ]
+            cache = []
+            for i, batch in enumerate(self.val_loader):
+                if i >= cap:
+                    break
+                cache.append((self._put(batch), jax.random.fold_in(val_key, i)))
+            self._val_cache = cache
         yield from self._val_cache
 
     def validate_loss_only(self, max_batches: Optional[int] = None) -> float:
@@ -254,7 +274,7 @@ class Trainer:
         if self.val_loader is None:
             return float("nan")
         losses = []
-        for i, (batch, vkey) in enumerate(self._val_iter()):
+        for i, (batch, vkey) in enumerate(self._val_iter(max_batches=max_batches)):
             if max_batches is not None and i >= max_batches:
                 break
             losses.append(self._eval_loss(self.eval_params, batch, vkey))
@@ -275,7 +295,7 @@ class Trainer:
         num_samples = num_samples or t.patch_val_samples
         losses, psnrs, ssims = [], [], []
         seen = 0
-        for batch, vkey in self._val_iter():
+        for batch, vkey in self._val_iter(max_batches=num_samples):
             losses.append(self._eval_loss(self.eval_params, batch, vkey))
             if generate:
                 target_depth = batch["target"].shape[1]
@@ -379,6 +399,7 @@ class Trainer:
             "micro_step": self._micro_step,
             "best_loss": self.best_loss,
             "current_phase": self.current_phase,
+            "has_ema": self.state.ema_params is not None,
             "config": self.config.to_dict(),
         }
 
@@ -410,22 +431,32 @@ class Trainer:
         """
         import json as _json
 
+        saved_meta = {}
         meta_path = os.path.join(path, "v2v_metadata.json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:
-                saved_phase = int(_json.load(f).get("current_phase", 1))
+                saved_meta = _json.load(f)
+            saved_phase = int(saved_meta.get("current_phase", 1))
             if saved_phase != self.current_phase:
                 self.set_phase(saved_phase)
         target = self._ckpt_state()
         base = {"params": target["params"], "opt_state": target["opt_state"]}
+        ema_enabled = "ema_params" in target
+        ckpt_has_ema = saved_meta.get("has_ema")  # None for old checkpoints
         # Graceful EMA structure mismatch (reference analogue: non-strict
         # state-dict fallback, trainer.py:828-841): a checkpoint may have
-        # been written with the opposite training.ema_decay setting.
-        attempts = (
-            [target, base]
-            if "ema_params" in target
-            else [target, {**base, "ema_params": base["params"]}]
-        )
+        # been written with the opposite training.ema_decay setting. The
+        # has_ema metadata flag picks the exact restore target; checkpoints
+        # predating the flag fall back to try-both (never silently dropping
+        # a real EMA tree on a transient first-attempt failure: the second
+        # attempt only runs when the structures genuinely differ).
+        ema_target = {**base, "ema_params": base["params"]}
+        if ckpt_has_ema is True:
+            attempts = [ema_target]
+        elif ckpt_has_ema is False:
+            attempts = [base]
+        else:
+            attempts = [target, base if ema_enabled else ema_target]
         restored = meta = err = None
         for tgt in attempts:
             try:
@@ -435,8 +466,8 @@ class Trainer:
                 err = e
         if restored is None:
             raise err
-        ema = restored.get("ema_params") if "ema_params" in target else None
-        if ema is None and "ema_params" in target:
+        ema = restored.get("ema_params") if ema_enabled else None
+        if ema is None and ema_enabled:
             # EMA enabled but checkpoint predates it: seed from the params
             ema = jax.tree_util.tree_map(
                 lambda x: jnp.array(x, copy=True), restored["params"]
@@ -452,6 +483,10 @@ class Trainer:
             self.state = self.state.replace(
                 params=shard_params(self.state.params, self.mesh)
             )
+            if self.state.ema_params is not None:
+                self.state = self.state.replace(
+                    ema_params=shard_params(self.state.ema_params, self.mesh)
+                )
         self.epoch = int(meta.get("epoch", 0)) + 1
         self.global_step = int(meta.get("global_step", 0))
         self._micro_step = int(meta.get("micro_step", 0))
