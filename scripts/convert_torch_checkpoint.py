@@ -59,8 +59,12 @@ def _put_conv_block(out, prefix_t, prefix_j, sd, transposed=False):
     _set(out, f"{prefix_j}/norm/bias", sd[f"{prefix_t}.norm.bias"])
 
 
-def _put_plain_conv(out, name_t, name_j, sd):
-    _set(out, f"{name_j}/kernel", _conv(sd[f"{name_t}.weight"]))
+def _put_plain_conv(out, name_t, name_j, sd, transposed=False):
+    # ConvTranspose3d weights are (I, O, kD, kH, kW) — the I/O axes are
+    # swapped vs Conv3d, so a transposed layer needs _convT even when the
+    # channel counts happen to be square and the shapes would silently fit.
+    k = _convT if transposed else _conv
+    _set(out, f"{name_j}/kernel", k(sd[f"{name_t}.weight"]))
     _set(out, f"{name_j}/bias", sd[f"{name_t}.bias"])
 
 
@@ -162,7 +166,10 @@ def convert_unet_state_dict(
             if mirror in attention_levels:
                 _put_attention(out, f"up_blocks.{level}.{i}.1", f"up{level}_attn{i}", sd)
         if level < num_levels - 1:
-            _put_plain_conv(out, f"up_samples.{level}.conv", f"up{level}_us/conv", sd)
+            _put_plain_conv(
+                out, f"up_samples.{level}.conv", f"up{level}_us/conv", sd,
+                transposed=True,
+            )
 
     # conv_out: Sequential[GroupNorm, SiLU, Conv3d]
     _set(out, "out_norm/scale", sd["conv_out.0.weight"])

@@ -48,6 +48,32 @@ def test_generate_volume_vae_batch_invariance(tiny):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_generate_volume_ddpm_sampler_and_unknown_raises(tiny):
+    """sampler='ddpm' runs the full-T ancestral scan (it used to silently
+    fall through to DDIM); unknown sampler names raise."""
+    from video_to_video_diffusion_tpu.inference.pipeline import staged_generate
+
+    model, params = tiny
+    v = jax.random.normal(jax.random.PRNGKey(5), (1, 4, 32, 32, 1))
+    out = staged_generate(
+        model, params, v, jax.random.PRNGKey(6), num_inference_steps=3,
+        target_depth=8, sampler="ddpm",
+    )
+    assert out.shape == (1, 8, 32, 32, 1)
+    assert np.isfinite(np.asarray(out)).all()
+    # 100 ancestral steps vs 3 DDIM steps: genuinely different trajectory
+    ddim = staged_generate(
+        model, params, v, jax.random.PRNGKey(6), num_inference_steps=3,
+        target_depth=8, sampler="ddim",
+    )
+    assert not np.allclose(np.asarray(out), np.asarray(ddim))
+    with pytest.raises(ValueError, match="Unknown sampler"):
+        staged_generate(
+            model, params, v, jax.random.PRNGKey(6), num_inference_steps=3,
+            target_depth=8, sampler="plms",
+        )
+
+
 def test_generate_volume_edm_sampler(tiny):
     """The pipelined path runs the EDM Heun scan when sampler='edm'."""
     model, params = tiny

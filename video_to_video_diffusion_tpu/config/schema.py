@@ -96,18 +96,35 @@ class PretrainedConfig:
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "PretrainedConfig":
+        # accept both the reference's nested layout (vae: {...},
+        # layer_lr_multipliers: {...}) and this schema's flat dataclass
+        # field names, so Config.to_dict() -> from_dict round-trips.
         vae = d.get("vae", {}) or {}
         mults = d.get("layer_lr_multipliers", {}) or {}
         return PretrainedConfig(
             use_pretrained=bool(_pick(d, "use_pretrained", default=False)),
-            vae_enabled=bool(_pick(vae, "enabled", default=False)),
-            vae_checkpoint_path=_pick(vae, "checkpoint_path"),
-            freeze_epochs=int(_pick(vae, "freeze_epochs", default=0)),
+            vae_enabled=bool(
+                _pick(vae, "enabled", default=_pick(d, "vae_enabled", default=False))
+            ),
+            vae_checkpoint_path=_pick(
+                vae, "checkpoint_path", default=_pick(d, "vae_checkpoint_path")
+            ),
+            freeze_epochs=int(
+                _pick(vae, "freeze_epochs", default=_pick(d, "freeze_epochs", default=0))
+            ),
             two_phase_training=bool(_pick(d, "two_phase_training", default=False)),
             phase1_epochs=int(_pick(d, "phase1_epochs", default=0)),
-            lr_mult_vae_encoder=float(_pick(mults, "vae_encoder", default=0.0)),
-            lr_mult_vae_decoder=float(_pick(mults, "vae_decoder", default=0.0)),
-            lr_mult_unet=float(_pick(mults, "unet", default=1.0)),
+            lr_mult_vae_encoder=float(
+                _pick(mults, "vae_encoder",
+                      default=_pick(d, "lr_mult_vae_encoder", default=0.0))
+            ),
+            lr_mult_vae_decoder=float(
+                _pick(mults, "vae_decoder",
+                      default=_pick(d, "lr_mult_vae_decoder", default=0.0))
+            ),
+            lr_mult_unet=float(
+                _pick(mults, "unet", default=_pick(d, "lr_mult_unet", default=1.0))
+            ),
         )
 
 

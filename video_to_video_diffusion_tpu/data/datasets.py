@@ -65,11 +65,16 @@ def preprocess_case(
     window_center: float = 40.0,
     window_width: float = 400.0,
     target_size: Tuple[int, int] = (512, 512),
+    extract_dir: Optional[str] = None,
 ) -> None:
     """DICOM case (zip or dir) -> cached npz of [-1,1] float16 volumes.
 
     Mirrors the reference one-time pipeline: extract -> load -> HU window ->
-    resize -> cache (slice_interpolation_dataset.py:254-409).
+    resize -> cache (slice_interpolation_dataset.py:254-409). `extract_dir`
+    (data.extract_dir) is the scratch root for ZIP extraction — point it at
+    fast local disk when the dataset lives on network storage; default is
+    the system temp dir. Always cleaned up afterwards, like the reference's
+    extract-then-delete flow.
     """
     from video_to_video_diffusion_tpu.data.dicom import load_dicom_volume
 
@@ -77,7 +82,9 @@ def preprocess_case(
     root = case_path
     try:
         if case_path.endswith(".zip"):
-            tmpdir = tempfile.mkdtemp(prefix="v2v_dicom_")
+            if extract_dir:
+                os.makedirs(extract_dir, exist_ok=True)
+            tmpdir = tempfile.mkdtemp(prefix="v2v_dicom_", dir=extract_dir or None)
             with zipfile.ZipFile(case_path) as zf:
                 zf.extractall(tmpdir)
             root = tmpdir
@@ -131,7 +138,10 @@ def preprocess_all_patients(cfg: DataConfig, logger=None) -> List[str]:
             done.append(out)
             continue
         try:
-            preprocess_case(p, out, cfg.window_center, cfg.window_width, cfg.target_size)
+            preprocess_case(
+                p, out, cfg.window_center, cfg.window_width, cfg.target_size,
+                extract_dir=cfg.extract_dir,
+            )
             done.append(out)
         except Exception as e:  # noqa: BLE001 — per-case fault isolation
             failures.append(f"{p}: {type(e).__name__}: {e}")

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional
 
 import numpy as np
@@ -48,6 +49,7 @@ class DataLoader:
         seed: int = 0,
         collate=None,
         prefetch: int = 2,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -56,6 +58,12 @@ class DataLoader:
         self.seed = seed
         self.collate = collate or _stack_patches
         self.prefetch = prefetch
+        # N-thread parallel sample extraction (reference: DataLoader worker
+        # processes, patch_slice_interpolation_dataset.py:342-352). Threads
+        # rather than processes: extraction is numpy/zlib-bound which drops
+        # the GIL, and threads share the dataset's in-memory volume cache.
+        # 0 = extract inline on the producer thread.
+        self.num_workers = max(int(num_workers), 0)
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -75,25 +83,39 @@ class DataLoader:
             rng.shuffle(idx)
         return idx
 
+    def _get_sample(self, epoch: int, i: int):
+        if hasattr(self.dataset, "extract_random_patch"):
+            # per-(epoch, item) deterministic patch seed — identical draws
+            # regardless of worker count or completion order
+            return self.dataset.__getitem__(
+                int(i), seed=(self.seed + epoch) * 1_000_003 + int(i)
+            )
+        return self.dataset[int(i)]
+
     def _iter_batches(self, epoch: int):
         idx = self._indices(epoch)
         bs = self.batch_size
         end = (len(idx) // bs) * bs if self.drop_last else len(idx)
-        for start in range(0, end, bs):
-            chunk = idx[start : start + bs]
-            if not len(chunk):
-                continue
-            samples = []
-            for i in chunk:
-                if hasattr(self.dataset, "extract_random_patch"):
-                    # per-(epoch, item) deterministic patch seed
-                    s = self.dataset.__getitem__(
-                        int(i), seed=(self.seed + epoch) * 1_000_003 + int(i)
+        pool = (
+            ThreadPoolExecutor(max_workers=self.num_workers)
+            if self.num_workers > 0
+            else None
+        )
+        try:
+            for start in range(0, end, bs):
+                chunk = idx[start : start + bs]
+                if not len(chunk):
+                    continue
+                if pool is not None:
+                    samples = list(
+                        pool.map(lambda i: self._get_sample(epoch, i), chunk)
                     )
                 else:
-                    s = self.dataset[int(i)]
-                samples.append(s)
-            yield self.collate(samples)
+                    samples = [self._get_sample(epoch, i) for i in chunk]
+                yield self.collate(samples)
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         epoch = self.epoch
@@ -161,6 +183,7 @@ def get_dataloader(config, split: str = "train") -> DataLoader:
             drop_last=d.drop_last and split == "train",
             seed=d.seed,
             collate=_stack_patches,
+            num_workers=d.num_workers,
         )
     ds = SliceInterpolationDataset(cfg, split)
     return DataLoader(
@@ -170,6 +193,7 @@ def get_dataloader(config, split: str = "train") -> DataLoader:
         drop_last=d.drop_last and split == "train",
         seed=d.seed,
         collate=collate_variable_depth,
+        num_workers=d.num_workers,
     )
 
 

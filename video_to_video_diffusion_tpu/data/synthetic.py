@@ -21,6 +21,7 @@ def synthetic_hu_volume(
     depth: int = 60,
     height: int = 128,
     width: int = 128,
+    noise_sigma: float = 8.0,
 ) -> np.ndarray:
     """A (D, H, W) float32 HU phantom in roughly [-1000, 400]."""
     z = np.linspace(-1, 1, depth)[:, None, None]
@@ -47,7 +48,11 @@ def synthetic_hu_volume(
         tube = ((y - (cy + wobble[:, None, None])) ** 2 + (x - cx) ** 2) < r ** 2
         vol = np.where(tube & body, 300.0, vol)
 
-    vol += rng.normal(0, 8.0, vol.shape).astype(np.float32)  # acquisition noise
+    # acquisition noise, drawn LAST so noise_sigma=0 reproduces the same
+    # anatomy from the same seed (used by scripts/compute_noise_ceiling.py
+    # to measure the noise-imposed PSNR ceiling)
+    if noise_sigma > 0:
+        vol += rng.normal(0, noise_sigma, vol.shape).astype(np.float32)
     return vol.astype(np.float32)
 
 
@@ -66,9 +71,10 @@ def synthetic_patient_pair(
     height: int = 128,
     width: int = 128,
     thick_ratio: int = 5,
+    noise_sigma: float = 8.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(thick_hu (D/r, H, W), thin_hu (D, H, W)) for one synthetic patient."""
     rng = np.random.default_rng(seed)
-    thin = synthetic_hu_volume(rng, thin_depth, height, width)
+    thin = synthetic_hu_volume(rng, thin_depth, height, width, noise_sigma)
     thick = thick_from_thin(thin, thick_ratio)
     return thick, thin

@@ -30,10 +30,26 @@ import numpy as np
 
 from video_to_video_diffusion_tpu.inference.sampler import (
     ddim_sample,
+    ddpm_sample,
     edm_sample,
     gaussian_weight_3d,
     stitch_positions,
 )
+
+_SAMPLERS = ("ddim", "ddpm", "edm")
+
+
+def _route_sampler(sampler: str, eps, schedule, key, shape, steps, eta):
+    """One sampler dispatch for both pipelined paths. DDPM ignores `steps`
+    (full-T ancestral loop) and `eta`; unknown names raise instead of
+    silently falling through to DDIM."""
+    if sampler == "ddim":
+        return ddim_sample(eps, schedule, key, shape, steps, eta)
+    if sampler == "edm":
+        return edm_sample(eps, schedule, key, shape, steps)
+    if sampler == "ddpm":
+        return ddpm_sample(eps, schedule, key, shape)
+    raise ValueError(f"Unknown sampler {sampler!r}; expected one of {_SAMPLERS}")
 from video_to_video_diffusion_tpu.ops.resize import resize_trilinear
 
 _STAGE_CACHE = {}
@@ -108,9 +124,9 @@ def staged_generate(
         def eps(z, t):
             return model.apply_unet(p, z, t, z_c).astype(jnp.float32)
 
-        if sampler == "edm":
-            return edm_sample(eps, model.schedule, k, z_c.shape, num_inference_steps)
-        return ddim_sample(eps, model.schedule, k, z_c.shape, num_inference_steps, eta)
+        return _route_sampler(
+            sampler, eps, model.schedule, k, z_c.shape, num_inference_steps, eta
+        )
 
     sample = _cached(
         sampler, (id(model), num_inference_steps, eta) + tuple(z_in.shape),
@@ -189,9 +205,9 @@ def generate_volume(
         def eps(z, t):
             return model.apply_unet(p, z, t, z_c).astype(jnp.float32)
 
-        if sampler == "edm":
-            return edm_sample(eps, model.schedule, k, z_c.shape, num_inference_steps)
-        return ddim_sample(eps, model.schedule, k, z_c.shape, num_inference_steps, eta)
+        return _route_sampler(
+            sampler, eps, model.schedule, k, z_c.shape, num_inference_steps, eta
+        )
 
     sample = _cached(
         sampler, (id(model), num_inference_steps, eta, Np) + tuple(z_in.shape[1:]),
@@ -216,3 +232,83 @@ def generate_volume(
     wmap = jnp.zeros((1, D_thin, H_full, W_full, C), jnp.float32)
     acc, wmap = _blend(acc, wmap, thin, coords[:N], (td, th, tw, C, ratio))
     return acc / (wmap + 1e-8)
+
+
+def _cost_flops(jitted, *args) -> float:
+    """Model FLOPs of one invocation via XLA's AOT cost analysis."""
+    cost = jitted.lower(*args).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    return float((cost or {}).get("flops", 0.0))
+
+
+def generate_volume_flops(
+    model,
+    params,
+    volume_shape: Tuple[int, ...],
+    num_inference_steps: int = 50,
+    patch_size: Tuple[int, int, int] = (8, 192, 192),
+    target_patch_size: Tuple[int, int, int] = (48, 192, 192),
+    stride: Tuple[int, int, int] = (4, 96, 96),
+    vae_batch: int = 5,
+    eta: float = 0.0,
+    sampler: str = "ddim",
+) -> dict:
+    """Total model FLOPs of a generate_volume call with these arguments.
+
+    Reuses the SAME cached stage jits as generate_volume (identical cache
+    keys), so after a bench run this is pure introspection — no recompiles.
+    Returns {'sample', 'encode', 'decode', 'total'} FLOPs; the DDIM/EDM scan
+    stage already contains all `num_inference_steps` UNet applications.
+    """
+    _, D_thick, H_full, W_full, C = volume_shape
+    pd, ph, pw = patch_size
+    td, th, tw = target_patch_size
+    sd, sh, sw = stride
+    ratio = td // pd
+    N = len(stitch_positions(D_thick, pd, sd)) * len(
+        stitch_positions(H_full, ph, sh)
+    ) * len(stitch_positions(W_full, pw, sw))
+    Np = N + ((-N) % vae_batch)
+    n_chunks = Np // vae_batch
+
+    enc = _cached(
+        "encode", (id(model), vae_batch, pd, ph, pw, C),
+        lambda: jax.jit(lambda p, v: model.encode(p, v).astype(jnp.float32)),
+    )
+    patch = jnp.zeros((vae_batch, pd, ph, pw, C), jnp.float32)
+    enc_flops = _cost_flops(enc, params, patch)
+
+    f = model.spatial_factor
+    z_shape = (Np, pd * ratio, ph // f, pw // f, model.latent_dim)
+
+    def _sample(p, z_c, k):
+        def eps(z, t):
+            return model.apply_unet(p, z, t, z_c).astype(jnp.float32)
+
+        return _route_sampler(
+            sampler, eps, model.schedule, k, z_c.shape, num_inference_steps, eta
+        )
+
+    sample = _cached(
+        sampler, (id(model), num_inference_steps, eta, Np) + tuple(z_shape[1:]),
+        lambda: jax.jit(_sample),
+    )
+    sample_flops = _cost_flops(
+        sample, params, jnp.zeros(z_shape, jnp.float32), jax.random.PRNGKey(0)
+    )
+
+    dec = _cached(
+        "decode", (id(model), vae_batch) + tuple(z_shape[1:]),
+        lambda: jax.jit(lambda p, z: model.decode(p, z).astype(jnp.float32)),
+    )
+    dec_flops = _cost_flops(
+        dec, params, jnp.zeros((vae_batch,) + tuple(z_shape[1:]), jnp.float32)
+    )
+
+    return {
+        "sample": sample_flops,
+        "encode": enc_flops * n_chunks,
+        "decode": dec_flops * n_chunks,
+        "total": sample_flops + (enc_flops + dec_flops) * n_chunks,
+    }

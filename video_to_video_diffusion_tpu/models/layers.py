@@ -137,8 +137,10 @@ class Conv3DBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from video_to_video_diffusion_tpu.ops.norm import conv_block_num_groups
+
         groups = (
-            adaptive_num_groups(self.features) if self.adaptive_groups else self.num_groups
+            conv_block_num_groups(self.features) if self.adaptive_groups else self.num_groups
         )
         x = Conv3D(
             self.features,

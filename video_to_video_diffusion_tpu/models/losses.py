@@ -64,11 +64,22 @@ def ms_ssim(
     """Multi-scale SSIM for (B, H, W, C) (reference models/losses.py:149-278).
 
     cs terms from the coarse-to-fine pyramid are combined with the standard
-    exponent weights; callers must ensure H, W >= window * 2**(levels-1).
+    exponent weights. When H or W is too small for the full 5-level pyramid
+    (needs min(H, W) >= window * 2**(levels-1)), the pyramid is truncated to
+    the deepest feasible level and the exponent weights renormalized to sum
+    to 1 — pytorch_msssim would assert instead; truncation keeps tiny test
+    configs usable without changing the production (192^2) behavior.
     """
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
     levels = len(weights)
+    min_hw = min(x.shape[1], x.shape[2])
+    while levels > 1 and min_hw // (2 ** (levels - 1)) < window:
+        levels -= 1
+    if levels < len(weights):
+        w = list(weights[:levels])
+        s = sum(w)
+        weights = [wi / s for wi in w]
     vals = []
     for i in range(levels):
         full, cs = _ssim_components(x, y, window, max_val)
@@ -139,9 +150,18 @@ class AutoencoderLoss:
 class CombinedLoss:
     """Weighted diffusion + aux loss combinator (reference models/losses.py:279-361).
 
-    The diffusion MSE is always on; MS-SSIM (decoded-volume) is gated every N
-    steps with weight lambda_ssim. Perceptual (VGG) is not available on-TPU
-    and is rejected if requested.
+    On gated steps the total follows the reference's convex combination
+    (models/diffusion.py:233-236): total = (1-λ)·diffusion + λ·(1-MS-SSIM);
+    ungated steps keep the plain diffusion objective at full scale (the
+    every-N gating of reference models/losses.py:343-357). Perceptual (VGG)
+    is not available on-TPU and is rejected if requested.
+
+    Divergence, deliberate: the reference decodes the predicted z₀ under
+    ``torch.no_grad()`` (models/diffusion.py:212-214), which detaches the
+    MS-SSIM term from the graph — as written upstream it contributes zero
+    gradient. Here the decode is differentiable (the caller freezes the VAE
+    weights themselves via stop_gradient / optimizer masking), so λ>0
+    actually shapes the UNet update.
     """
 
     def __init__(
@@ -164,21 +184,31 @@ class CombinedLoss:
         step: jnp.ndarray,
         decoded_pred: Optional[jnp.ndarray] = None,
         decoded_target: Optional[jnp.ndarray] = None,
+        decoded_fn=None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """decoded_fn: nullary () -> (pred, target) volumes in [-1, 1];
+        evaluated inside the gate branch so the (expensive) VAE decode is
+        skipped entirely on ungated steps. Alternatively pass the decoded
+        arrays directly via decoded_pred/decoded_target."""
         aux = {"diffusion": diffusion_loss}
         total = diffusion_loss
-        if self.lambda_ssim > 0 and decoded_pred is not None:
+        have_decoded = decoded_fn is not None or decoded_pred is not None
+        if self.lambda_ssim > 0 and have_decoded:
             def with_ssim(_):
+                if decoded_fn is not None:
+                    pred, target = decoded_fn()
+                else:
+                    pred, target = decoded_pred, decoded_target
                 return 1.0 - ms_ssim_video(
-                    (decoded_pred + 1.0) / 2.0, (decoded_target + 1.0) / 2.0, max_val=1.0
+                    (pred.astype(jnp.float32) + 1.0) / 2.0,
+                    (target.astype(jnp.float32) + 1.0) / 2.0,
+                    max_val=1.0,
                 )
 
             gate = (step % self.every_n) == 0
             ssim_l = lax.cond(gate, with_ssim, lambda _: jnp.float32(0.0), None)
-            # additive on gated steps only, like the reference
-            # (models/losses.py:343-357): ungated steps keep the plain
-            # diffusion objective at full scale.
-            total = total + self.lambda_ssim * ssim_l
+            lam = jnp.where(gate, jnp.float32(self.lambda_ssim), jnp.float32(0.0))
+            total = (1.0 - lam) * diffusion_loss + lam * ssim_l
             aux["ms_ssim_loss"] = ssim_l
         aux["total"] = total
         return total, aux

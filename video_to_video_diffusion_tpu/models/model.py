@@ -84,6 +84,24 @@ class VideoToVideoDiffusion:
         )
         self.latent_dim = m.latent_dim
         self.spatial_factor = 2 ** m.vae_num_down_stages
+        # losses: section (reference config:148-161). The reference parses it
+        # but hardcodes use_ssim=False at model.py:218; here the knob works.
+        lc = self.config.losses
+        if not lc.use_diffusion_loss:
+            raise ValueError(
+                "losses.use_diffusion_loss=false is unsupported: the epsilon-"
+                "MSE diffusion objective is the primary loss (the reference "
+                "never honors false either, models/model.py:213-220)"
+            )
+        self.combined_loss = None
+        if lc.use_perceptual_loss or (lc.use_ms_ssim_loss and lc.lambda_ssim > 0):
+            from video_to_video_diffusion_tpu.models.losses import CombinedLoss
+
+            self.combined_loss = CombinedLoss(
+                lambda_ssim=lc.lambda_ssim if lc.use_ms_ssim_loss else 0.0,
+                ssim_every_n_steps=lc.ssim_every_n_steps,
+                use_perceptual=lc.use_perceptual_loss,  # raises: not on-TPU
+            )
 
     # ------------------------------------------------------------------ init
     def init(
@@ -137,6 +155,7 @@ class VideoToVideoDiffusion:
         v_gt: jnp.ndarray,
         key: jax.Array,
         mask: Optional[jnp.ndarray] = None,
+        step: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, dict]:
         """Diffusion training loss (reference model.py:158-228).
 
@@ -144,6 +163,8 @@ class VideoToVideoDiffusion:
           v_in: conditioning (thick) volume (B, D_in, H, W, C) in [-1, 1].
           v_gt: target (thin) volume (B, D_gt, H, W, C) in [-1, 1].
           mask: optional (B, D_gt) depth validity mask (full-volume mode).
+          step: traced micro-step counter; gates the every-N MS-SSIM term
+            when losses.use_ms_ssim_loss is on (None = always gated-on).
         """
         z_in = jax.lax.stop_gradient(self.encode(params, v_in))
         z_gt = jax.lax.stop_gradient(self.encode(params, v_gt))
@@ -168,6 +189,28 @@ class VideoToVideoDiffusion:
         loss, metrics = diffusion_training_loss(
             self.schedule, eps_pred, noise, t, mask=z_mask
         )
+        if self.combined_loss is not None:
+            # Gated MS-SSIM on the decoded predicted volume (reference
+            # diffusion.py:204-243). The decode is differentiable through
+            # z0_pred into the UNet; the VAE weights themselves see no
+            # gradient (stop_gradient — they are frozen upstream anyway).
+            from video_to_video_diffusion_tpu.models.diffusion import (
+                predict_z0_from_noise,
+            )
+
+            frozen_vae = {"vae": jax.lax.stop_gradient(params["vae"])}
+
+            def decoded():
+                z0_pred = predict_z0_from_noise(self.schedule, z_t, t, eps_pred)
+                v_pred = self.decode(frozen_vae, z0_pred)
+                return v_pred, v_gt
+
+            loss, aux = self.combined_loss(
+                loss,
+                step if step is not None else jnp.int32(0),
+                decoded_fn=decoded,
+            )
+            metrics = {**metrics, **{k: v for k, v in aux.items() if k != "total"}}
         return loss, metrics
 
     # ------------------------------------------------------------ inference

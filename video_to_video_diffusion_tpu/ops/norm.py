@@ -28,6 +28,18 @@ def adaptive_num_groups(channels: int) -> int:
     return 1
 
 
+def conv_block_num_groups(channels: int) -> int:
+    """The reference UNet Conv3DBlock's DIFFERENT adaptive rule: prefer 8
+    groups whenever the channel count is divisible by 8, else fall back to
+    the largest-divisor rule (models/unet3d.py:57-68) — NOT the same as
+    `adaptive_num_groups` (e.g. 128 channels -> 8 here, 32 there). Weight
+    parity with reference checkpoints requires matching it exactly.
+    """
+    if channels % 8 == 0:
+        return min(8, channels)
+    return adaptive_num_groups(channels)
+
+
 def group_norm(
     x: jnp.ndarray,
     scale: jnp.ndarray,

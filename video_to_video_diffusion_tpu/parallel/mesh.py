@@ -28,14 +28,23 @@ def make_mesh(
     num_devices: int = 0,
     tensor_parallel: int = 1,
     devices: Optional[Sequence] = None,
+    data_parallel: int = 0,
 ) -> Mesh:
     """Build a ('data', 'tensor') mesh.
 
     Args:
       num_devices: total devices to use (0 = all visible).
       tensor_parallel: size of the tensor axis; must divide num_devices.
+      data_parallel: size of the data axis (0 = infer as n // tensor_parallel;
+        hardware.mesh_data_axis). When given, data*tensor devices are used.
     """
     devs = list(devices) if devices is not None else jax.devices()
+    if data_parallel:
+        num_devices = data_parallel * tensor_parallel
+        assert num_devices <= len(devs), (
+            f"mesh {data_parallel}x{tensor_parallel} needs {num_devices} "
+            f"devices, have {len(devs)}"
+        )
     if num_devices:
         devs = devs[:num_devices]
     n = len(devs)

@@ -60,7 +60,7 @@ def shard_params(params: Any, mesh: Mesh, specs: Any = None) -> Any:
     )
 
 
-_warned_replicated = False
+_warned_replicated_keys = set()
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
@@ -68,25 +68,26 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
     Arrays whose leading axis is not divisible by the 'data' mesh axis (e.g.
     a short validation batch, or a last partial batch without drop_last) are
-    replicated instead — correct, just not data-parallel for that batch. The
-    first such fallback logs a warning: if EVERY batch hits it (batch_size
-    not divisible by the data-axis size), training silently runs fully
-    replicated, which is a configuration error worth surfacing.
+    replicated instead — correct, just not data-parallel for that batch.
+    The fallback warns once per (key, leading-dim) so a benign short final
+    validation batch doesn't consume the only warning: if EVERY training
+    batch hits it (batch_size not divisible by the data-axis size), training
+    silently runs fully replicated, which is a configuration error worth
+    surfacing.
     """
     import logging
 
-    global _warned_replicated
     sh = batch_sharding(mesh)
     repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
     n_data = mesh.shape[DATA_AXIS]
 
     def put(k, v):
-        global _warned_replicated
         if not hasattr(v, "shape"):
             return v
         fits = v.ndim >= 1 and v.shape[0] % n_data == 0
-        if not fits and not _warned_replicated:
-            _warned_replicated = True
+        warn_key = (k, v.shape[0] if v.ndim else 0)
+        if not fits and warn_key not in _warned_replicated_keys:
+            _warned_replicated_keys.add(warn_key)
             logging.getLogger("sharding").warning(
                 "batch array %r (leading dim %d) is not divisible by the "
                 "'data' mesh axis (%d); replicating it. If this happens for "

@@ -123,7 +123,9 @@ def make_train_step(
 ):
     """Build a jittable train step.
 
-    loss_fn(params, batch, key) -> (loss, metrics dict). The returned step
+    loss_fn(params, batch, key) -> (loss, metrics dict); a loss_fn declaring
+    a 4th `step` parameter additionally receives the traced micro-step
+    counter (for every-N-step gated aux losses). The returned step
     computes grads, applies the (possibly accumulating) optimizer, and
     reports loss + global grad norm. With a ('data',)-sharded batch under
     jit, XLA inserts the gradient psum automatically.
@@ -134,8 +136,14 @@ def make_train_step(
     optimizer update, so literature decay values would mis-transfer.
     """
 
+    import inspect
+
+    wants_step = "step" in inspect.signature(loss_fn).parameters
+
     def train_step(state: TrainState, batch: Dict, key: jax.Array):
         def loss_wrapped(p):
+            if wants_step:
+                return loss_fn(p, batch, key, step=state.step)
             return loss_fn(p, batch, key)
 
         (loss, metrics), grads = jax.value_and_grad(loss_wrapped, has_aux=True)(

@@ -35,7 +35,9 @@ def _resolve_vae_checkpoint(checkpoint_path: str) -> str:
     <experiment>/vae_best_*/...), pick the newest vae_best_* anywhere below,
     falling back to the newest vae_epoch_* — the path-discovery half of the
     reference's VAE loading (training/train.py:77-106 + shell glob in
-    kub_files/vae-training-job-a100.yaml:35-60).
+    kub_files/vae-training-job-a100.yaml:35-60). Note the newest match by
+    mtime across ALL experiments under the directory wins; the resolved path
+    is logged so any cross-experiment substitution is visible.
     """
     import glob as _glob
     import os as _os
@@ -50,7 +52,13 @@ def _resolve_vae_checkpoint(checkpoint_path: str) -> str:
             if _os.path.isdir(h) and not h.endswith(".orbax-checkpoint-tmp")
         ]
         if hits:
-            return max(hits, key=_os.path.getmtime)
+            resolved = max(hits, key=_os.path.getmtime)
+            if _os.path.abspath(resolved) != _os.path.abspath(p):
+                setup_logger("train").info(
+                    "resolved VAE checkpoint %s -> %s (newest %s by mtime)",
+                    p, resolved, pat,
+                )
+            return resolved
     return p
 
 
@@ -94,7 +102,11 @@ def main(argv=None) -> Dict[str, float]:
 
     mesh = None
     if cfg.hardware.distributed and len(jax.devices()) > 1:
-        mesh = make_mesh(cfg.hardware.num_devices)
+        mesh = make_mesh(
+            cfg.hardware.num_devices,
+            tensor_parallel=max(cfg.hardware.mesh_tensor_axis, 1),
+            data_parallel=max(cfg.hardware.mesh_data_axis, 0),
+        )
         logger.info("mesh: %s", mesh)
 
     # dataloaders (reference train.py:127-158)

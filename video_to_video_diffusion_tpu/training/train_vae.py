@@ -62,6 +62,13 @@ class VAETrainer:
 
         self.vae = _make_vae(policy.compute_dtype)
         self.vae_f32 = _make_vae(jnp.float32)
+        if t.use_lpips or t.lpips_weight > 0:
+            raise NotImplementedError(
+                "training.use_lpips: LPIPS needs a pretrained torch VGG and is "
+                "not available on the TPU path (the reference default configs "
+                "ship with it off, config/vae_training.yaml); use "
+                "training.use_ssim_loss instead"
+            )
         self.criterion = AutoencoderLoss(
             use_ssim=t.use_ssim_loss,
             ssim_weight=t.ssim_loss_weight,
@@ -299,7 +306,20 @@ def main(argv=None) -> Dict[str, float]:
 
     configure_platform(cfg.hardware.device)
     enable_compilation_cache()
-    trainer = VAETrainer(cfg)
+    # Mesh like the diffusion CLI (train.py): VAE training at 48x192x192
+    # needs a mesh or remat+accum on a 16 GB chip; without one the
+    # documented multi-chip escape hatch was unreachable from this CLI.
+    mesh = None
+    if cfg.hardware.distributed and len(jax.devices()) > 1:
+        from video_to_video_diffusion_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(
+            cfg.hardware.num_devices,
+            tensor_parallel=max(cfg.hardware.mesh_tensor_axis, 1),
+            data_parallel=max(cfg.hardware.mesh_data_axis, 0),
+        )
+        setup_logger("vae_trainer").info("mesh: %s", mesh)
+    trainer = VAETrainer(cfg, mesh=mesh)
     train_loader = get_unified_dataloader(cfg, "train")
     val_loader = get_unified_dataloader(cfg, "val")
     trainer.setup_optimizer(max(len(train_loader), 1))

@@ -90,9 +90,10 @@ class Trainer:
         ema_decay = self.config.training.ema_decay
         self.state = create_train_state(params, self.tx, ema=ema_decay > 0.0)
 
-        def loss_fn(p, batch, key):
+        def loss_fn(p, batch, key, step=None):
             return model.loss_fn(
-                p, batch["input"], batch["target"], key, mask=batch.get("thin_mask")
+                p, batch["input"], batch["target"], key,
+                mask=batch.get("thin_mask"), step=step,
             )
 
         self._train_step = jax.jit(
@@ -112,18 +113,6 @@ class Trainer:
         self.best_loss = float("inf")
         self.best_ckpt_path: Optional[str] = None
         self.current_phase = 1
-        self._gen_cache = {}
-
-    def _jitted_generate(self, steps: int, target_depth: int):
-        """Cache one jitted generate per (steps, target_depth)."""
-        key = (steps, target_depth)
-        if key not in self._gen_cache:
-            self._gen_cache[key] = jax.jit(
-                lambda p, v, k: self.model.generate(
-                    p, v, k, "ddim", steps, target_depth=target_depth
-                )
-            )
-        return self._gen_cache[key]
 
     # ------------------------------------------------------------ two-phase
     def set_phase(self, phase: int) -> None:
@@ -161,9 +150,10 @@ class Trainer:
             self.state = self.state.replace(ema_params=prev_ema)
         model = self.model
 
-        def loss_fn(pp, batch, key):
+        def loss_fn(pp, batch, key, step=None):
             return model.loss_fn(
-                pp, batch["input"], batch["target"], key, mask=batch.get("thin_mask")
+                pp, batch["input"], batch["target"], key,
+                mask=batch.get("thin_mask"), step=step,
             )
 
         self._train_step = jax.jit(
@@ -252,16 +242,23 @@ class Trainer:
             for i, batch in enumerate(self.val_loader):
                 yield self._put(batch), jax.random.fold_in(val_key, i)
             return
+        # Fill the cache lazily to the largest max_batches actually requested
+        # (extending on later larger requests) — eagerly pinning the full cap
+        # would hold up to 2x the needed HBM on a memory-tight v5e.
         if self._val_cache is None:
+            self._val_cache = []
+        if len(self._val_cache) < max_batches:
             if hasattr(self.val_loader, "set_epoch"):
                 self.val_loader.set_epoch(0)
-            cache = []
             for i, batch in enumerate(self.val_loader):
-                if i >= cap:
+                if i >= max_batches:
                     break
-                cache.append((self._put(batch), jax.random.fold_in(val_key, i)))
-            self._val_cache = cache
-        yield from self._val_cache
+                if i < len(self._val_cache):
+                    continue  # identical draws: loader epoch is pinned to 0
+                self._val_cache.append(
+                    (self._put(batch), jax.random.fold_in(val_key, i))
+                )
+        yield from self._val_cache[:max_batches]
 
     def validate_loss_only(self, max_batches: Optional[int] = None) -> float:
         """Tier 1 (reference trainer.py:413-445).
@@ -298,9 +295,19 @@ class Trainer:
         for batch, vkey in self._val_iter(max_batches=num_samples):
             losses.append(self._eval_loss(self.eval_params, batch, vkey))
             if generate:
+                # staged_generate, NOT a monolithic jit of model.generate:
+                # the fused encode+DDIM+decode program takes tens of minutes
+                # to compile through the remote TPU tunnel, while the staged
+                # jits are shared with the pipeline/eval scripts and the
+                # persistent compilation cache (see inference/pipeline.py).
+                from video_to_video_diffusion_tpu.inference.pipeline import (
+                    staged_generate,
+                )
+
                 target_depth = batch["target"].shape[1]
-                gen = self._jitted_generate(20, target_depth)(
-                    self.eval_params, batch["input"], vkey
+                gen = staged_generate(
+                    self.model, self.eval_params, batch["input"], vkey,
+                    num_inference_steps=20, target_depth=target_depth,
                 )
                 m = calculate_video_metrics(
                     from_model_range(np.asarray(gen)),
@@ -324,9 +331,12 @@ class Trainer:
     def validate_full_volumes(self, num_samples: Optional[int] = None, steps: int = 20) -> Dict[str, float]:
         """Tier 3: sliding-window stitched full volumes (reference :528-603).
 
-        Uses the pipelined stitcher, whose stage jits are cached per model —
-        a per-call jit closure here would recompile the encode+DDIM+decode
-        pipeline (minutes) on every Tier-3 validation.
+        Single-chip: the pipelined stitcher, whose stage jits are cached per
+        model — a per-call jit closure here would recompile the
+        encode+DDIM+decode pipeline (minutes) on every Tier-3 validation.
+        With a mesh: the patch grid is fanned out over the 'data' axis via
+        parallel.stitching.sample_with_stitching_sharded (each sliding-window
+        patch is an independent DDIM sample — embarrassingly parallel).
         """
         from video_to_video_diffusion_tpu.inference.pipeline import generate_volume
 
@@ -335,6 +345,16 @@ class Trainer:
         if self.full_val_loader is None:
             return {}
         num_samples = num_samples or t.full_val_samples
+        patch_kw = dict(
+            num_inference_steps=steps,
+            patch_size=(d.patch_depth_thick, *d.patch_size),
+            target_patch_size=(d.patch_depth_thin, *d.patch_size),
+            stride=(
+                max(d.patch_depth_thick // 2, 1),
+                d.patch_size[0] // 2,
+                d.patch_size[1] // 2,
+            ),
+        )
         psnrs, ssims = [], []
         seen = 0
         for batch in self.full_val_loader:
@@ -343,20 +363,20 @@ class Trainer:
                 n_thick = int(batch["thick_mask"][b].sum()) if "thick_mask" in batch else thick.shape[1]
                 n_thin = int(batch["thin_mask"][b].sum()) if "thin_mask" in batch else batch["target"].shape[1]
                 thick = thick[:, :n_thick]
-                out = generate_volume(
-                    self.model,
-                    self.eval_params,
-                    thick,
-                    self._next_key(),
-                    num_inference_steps=steps,
-                    patch_size=(d.patch_depth_thick, *d.patch_size),
-                    target_patch_size=(d.patch_depth_thin, *d.patch_size),
-                    stride=(
-                        max(d.patch_depth_thick // 2, 1),
-                        d.patch_size[0] // 2,
-                        d.patch_size[1] // 2,
-                    ),
-                )
+                if self.mesh is not None:
+                    from video_to_video_diffusion_tpu.parallel.stitching import (
+                        sample_with_stitching_sharded,
+                    )
+
+                    out = sample_with_stitching_sharded(
+                        self.model, self.eval_params, self.mesh, thick,
+                        self._next_key(), **patch_kw,
+                    )
+                else:
+                    out = generate_volume(
+                        self.model, self.eval_params, thick,
+                        self._next_key(), **patch_kw,
+                    )
                 target = batch["target"][b : b + 1, : out.shape[1]]
                 n = min(n_thin, out.shape[1])
                 m = calculate_video_metrics(
@@ -457,15 +477,18 @@ class Trainer:
             attempts = [base]
         else:
             attempts = [target, base if ema_enabled else ema_target]
-        restored = meta = err = None
+        restored = meta = None
+        errs = []
         for tgt in attempts:
             try:
                 restored, meta = load_checkpoint(path, target=jax.device_get(tgt))
                 break
             except Exception as e:  # noqa: BLE001 — orbax raises various types
-                err = e
+                errs.append(e)
         if restored is None:
-            raise err
+            # raise the FIRST failure (the most informative one — later
+            # attempts fail structurally by construction), chaining the rest
+            raise errs[0] from (errs[-1] if len(errs) > 1 else None)
         ema = restored.get("ema_params") if ema_enabled else None
         if ema is None and ema_enabled:
             # EMA enabled but checkpoint predates it: seed from the params
@@ -506,6 +529,14 @@ class Trainer:
         for epoch in range(self.epoch, t.num_epochs):
             self.epoch = epoch
             if p.two_phase_training and epoch >= p.phase1_epochs:
+                self.set_phase(2)
+            elif (
+                not p.two_phase_training
+                and p.freeze_epochs > 0
+                and epoch >= p.freeze_epochs
+            ):
+                # simple freeze mode (reference trainer.py:728-732): VAE
+                # frozen for the first freeze_epochs epochs, then unfrozen
                 self.set_phase(2)
             if hasattr(self.train_loader, "set_epoch"):
                 self.train_loader.set_epoch(epoch)
