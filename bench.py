@@ -20,6 +20,8 @@ Env knobs:
   BENCH_STEPS   DDIM steps (default 50)
   BENCH_DC      encode/decode chunk size (default 5)
   BENCH_SMALL   1 = tiny proxy config for quick CPU smoke runs
+  BENCH_QUANT   'int8' = run the DDIM scan on the w8a8 UNet (ops/quant.py);
+                default keeps the trained bf16 path
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -44,6 +46,7 @@ def main() -> None:
     small = os.environ.get("BENCH_SMALL") == "1"
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     vae_batch = int(os.environ.get("BENCH_DC", "5"))
+    quant = os.environ.get("BENCH_QUANT") or None
     from video_to_video_diffusion_tpu.utils.platform import (
         configure_platform,
         enable_compilation_cache,
@@ -98,6 +101,7 @@ def main() -> None:
             target_patch_size=(pd_thin, patch_hw, patch_hw),
             stride=(max(pd_thick // 2, 1), stride_hw, stride_hw),
             vae_batch=vae_batch,
+            quant=quant,
         )
         # force full materialization on the host (block_until_ready does not
         # reliably sync through relay-backed TPU backends)
@@ -156,7 +160,11 @@ def main() -> None:
     if tflops is not None:
         result["achieved_tflops"] = round(tflops, 2)
     if mfu is not None:
+        # MFU denominator stays the 197 TFLOP/s bf16 peak even for int8 runs
+        # (v5e int8 peak is 394 TOP/s, so int8 "MFU" here can exceed bf16's).
         result["mfu"] = round(mfu, 4)
+    if quant:
+        result["quant"] = quant
     print(json.dumps(result))
     print(
         f"# shape={tuple(out.shape)} steps={steps} vae_batch={vae_batch} "

@@ -33,10 +33,30 @@ from video_to_video_diffusion_tpu.inference.sampler import (
     ddpm_sample,
     edm_sample,
     gaussian_weight_3d,
+    sampler_unet_evals,
     stitch_positions,
 )
 
 _SAMPLERS = ("ddim", "ddpm", "edm")
+_QUANT_MODES = (None, "int8")
+
+
+def _sample_params_and_apply(model, params, quant):
+    """Resolve the (params, unet-apply) pair for a sampling stage.
+
+    quant=None keeps the trained tree + compute-dtype UNet; quant='int8'
+    quantizes the UNet kernels ONCE per call (jitted, cached per model) and
+    routes through the w8a8 variant (models/quantize.py, ops/quant.py)."""
+    if quant is None:
+        return params, model.apply_unet
+    if quant == "int8":
+        quantizer = _cached(
+            "quantize", (id(model),), lambda: jax.jit(model.quantize_unet_params)
+        )
+        qp = dict(params)
+        qp.update(quantizer(params))
+        return qp, model.apply_unet_q
+    raise ValueError(f"Unknown quant mode {quant!r}; expected one of {_QUANT_MODES}")
 
 
 def _route_sampler(sampler: str, eps, schedule, key, shape, steps, eta):
@@ -104,6 +124,7 @@ def staged_generate(
     target_depth: Optional[int] = None,
     eta: float = 0.0,
     sampler: str = "ddim",
+    quant: Optional[str] = None,
 ) -> jnp.ndarray:
     """generate() semantics through three independently compiled stages.
 
@@ -111,6 +132,8 @@ def staged_generate(
     clamp) but each stage is its own cached jit — one fused generate program
     takes tens of minutes to compile through a remote compiler, while the
     stages compile in minutes once and are shared with generate_volume.
+    quant='int8' runs the sampling scan on the w8a8 UNet (ops/quant.py);
+    the VAE stages stay at full precision.
     """
     enc = _cached(
         "encode", (id(model),) + tuple(v_in.shape[1:]) + (v_in.shape[0],),
@@ -120,19 +143,21 @@ def staged_generate(
     if target_depth is not None and target_depth != z_in.shape[1]:
         z_in = resize_trilinear(z_in, (target_depth, z_in.shape[2], z_in.shape[3]))
 
+    sample_params, apply_unet = _sample_params_and_apply(model, params, quant)
+
     def _sample(p, z_c, k):
         def eps(z, t):
-            return model.apply_unet(p, z, t, z_c).astype(jnp.float32)
+            return apply_unet(p, z, t, z_c).astype(jnp.float32)
 
         return _route_sampler(
             sampler, eps, model.schedule, k, z_c.shape, num_inference_steps, eta
         )
 
     sample = _cached(
-        sampler, (id(model), num_inference_steps, eta) + tuple(z_in.shape),
+        sampler, (id(model), num_inference_steps, eta, quant) + tuple(z_in.shape),
         lambda: jax.jit(_sample),
     )
-    z0 = sample(params, z_in, key)
+    z0 = sample(sample_params, z_in, key)
     z0 = jnp.clip(jnp.nan_to_num(z0, posinf=1.0, neginf=-1.0), -10.0, 10.0)
 
     dec = _cached(
@@ -155,12 +180,15 @@ def generate_volume(
     vae_batch: int = 5,
     eta: float = 0.0,
     sampler: str = "ddim",
+    quant: Optional[str] = None,
 ) -> jnp.ndarray:
     """Full thick->thin volume generation, pipelined.
 
     Args:
       v_thick_full: (1, D_thick, H, W, C) in [-1, 1].
       vae_batch: encode/decode chunk size (HBM bound at full resolution).
+      quant: None (trained precision) or 'int8' — run the DDIM/EDM scan on
+        the w8a8 UNet (kernels quantized once per call; ops/quant.py).
 
     Returns (1, D_thick * ratio, H, W, C) f32.
     """
@@ -201,19 +229,22 @@ def generate_volume(
         z_in = resize_trilinear(z_in, (z_in.shape[1] * ratio, z_in.shape[2], z_in.shape[3]))
 
     # ---- batched DDIM (or EDM Heun) scan over the whole grid ----
+    sample_params, apply_unet = _sample_params_and_apply(model, params, quant)
+
     def _sample(p, z_c, k):
         def eps(z, t):
-            return model.apply_unet(p, z, t, z_c).astype(jnp.float32)
+            return apply_unet(p, z, t, z_c).astype(jnp.float32)
 
         return _route_sampler(
             sampler, eps, model.schedule, k, z_c.shape, num_inference_steps, eta
         )
 
     sample = _cached(
-        sampler, (id(model), num_inference_steps, eta, Np) + tuple(z_in.shape[1:]),
+        sampler,
+        (id(model), num_inference_steps, eta, quant, Np) + tuple(z_in.shape[1:]),
         lambda: jax.jit(_sample),
     )
-    z0 = sample(params, z_in, key)
+    z0 = sample(sample_params, z_in, key)
     z0 = jnp.clip(jnp.nan_to_num(z0, posinf=1.0, neginf=-1.0), -10.0, 10.0)
 
     # ---- decode (chunked) ----
@@ -256,10 +287,10 @@ def generate_volume_flops(
 ) -> dict:
     """Total model FLOPs of a generate_volume call with these arguments.
 
-    Reuses the SAME cached stage jits as generate_volume (identical cache
-    keys), so after a bench run this is pure introspection — no recompiles.
-    Returns {'sample', 'encode', 'decode', 'total'} FLOPs; the DDIM/EDM scan
-    stage already contains all `num_inference_steps` UNet applications.
+    Reuses the SAME cached encode/decode stage jits as generate_volume
+    (identical cache keys). Returns {'sample', 'encode', 'decode', 'total'}
+    FLOPs, where 'sample' = per-eval UNet FLOPs x the sampler's UNet eval
+    count (see the in-body comment on scan cost-analysis semantics).
     """
     _, D_thick, H_full, W_full, C = volume_shape
     pd, ph, pw = patch_size
@@ -282,20 +313,20 @@ def generate_volume_flops(
     f = model.spatial_factor
     z_shape = (Np, pd * ratio, ph // f, pw // f, model.latent_dim)
 
-    def _sample(p, z_c, k):
-        def eps(z, t):
-            return model.apply_unet(p, z, t, z_c).astype(jnp.float32)
-
-        return _route_sampler(
-            sampler, eps, model.schedule, k, z_c.shape, num_inference_steps, eta
-        )
-
-    sample = _cached(
-        sampler, (id(model), num_inference_steps, eta, Np) + tuple(z_shape[1:]),
-        lambda: jax.jit(_sample),
+    # XLA cost analysis counts a lax.scan body exactly ONCE regardless of
+    # trip count (verified: identical 'flops' for length-5 vs length-50
+    # scans), so the sample stage is reconstructed as per-eval UNet FLOPs x
+    # the sampler's eval count. Sampler arithmetic outside the UNet is a few
+    # elementwise ops on the tiny latents — negligible and deliberately
+    # excluded (this is model FLOPs, the MFU numerator convention).
+    unet_fwd = jax.jit(
+        lambda p, z, t, c: model.apply_unet(p, z, t, c).astype(jnp.float32)
     )
-    sample_flops = _cost_flops(
-        sample, params, jnp.zeros(z_shape, jnp.float32), jax.random.PRNGKey(0)
+    z0 = jnp.zeros(z_shape, jnp.float32)
+    t0 = jnp.zeros((Np,), jnp.int32)
+    unet_flops = _cost_flops(unet_fwd, params, z0, t0, z0)
+    sample_flops = unet_flops * sampler_unet_evals(
+        sampler, model.schedule, num_inference_steps
     )
 
     dec = _cached(

@@ -234,6 +234,28 @@ def ddpm_sample(
     return z_final
 
 
+def sampler_unet_evals(
+    sampler: str, schedule: DiffusionSchedule, num_inference_steps: int
+) -> int:
+    """Number of UNet (eps_fn) evaluations a sampler performs.
+
+    Used for FLOPs accounting: XLA's cost analysis counts a lax.scan body
+    exactly once regardless of trip count, so total model FLOPs must be
+    reconstructed as per-eval FLOPs x this count. Note 'ddim' with
+    num_inference_steps=50 on a 1000-step schedule runs 51 evals (the subset
+    is padded with T-1, ddim_timesteps above); 'edm' Heun runs 2 evals per
+    scan step plus the final Euler step.
+    """
+    if sampler == "ddim":
+        return len(ddim_timesteps(schedule.timesteps, num_inference_steps))
+    if sampler == "edm":
+        n = len(edm_sigmas(schedule, num_inference_steps)[0])
+        return 2 * (n - 1) + 1 if n > 1 else 1
+    if sampler == "ddpm":
+        return schedule.timesteps
+    raise ValueError(f"Unknown sampler {sampler!r}")
+
+
 # ---------------------------------------------------------------- stitching
 def gaussian_weight_3d(d: int, h: int, w: int) -> jnp.ndarray:
     """Separable 3D Gaussian blending weight, sigma=dim/6 (reference :455-479)."""

@@ -33,7 +33,14 @@ def _bias_init_for_fan_in(fan_in: int):
 
 
 class Conv3D(nn.Module):
-    """3D conv, torch Conv3d shape semantics, NDHWC."""
+    """3D conv, torch Conv3d shape semantics, NDHWC.
+
+    With ``quant=True`` the module becomes the w8a8 inference variant: its
+    parameters are ``kernel_q`` (int8) + ``kernel_scale`` (per-out-channel
+    f32) instead of ``kernel``, produced from a trained f32 tree by
+    ``models.quantize.quantize_unet_params`` (see ops/quant.py for the
+    scheme and measured speedups). Bias is shared unquantized.
+    """
 
     features: int
     kernel_size: Union[int, Sequence[int]] = 3
@@ -41,20 +48,33 @@ class Conv3D(nn.Module):
     padding: Union[int, Sequence[int]] = 0
     use_bias: bool = True
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         ks = _triple(self.kernel_size)
         in_ch = x.shape[-1]
         fan_in = in_ch * ks[0] * ks[1] * ks[2]
-        kernel = self.param(
-            "kernel", _KERNEL_INIT, (*ks, in_ch, self.features), jnp.float32
-        )
+        kshape = (*ks, in_ch, self.features)
         bias = (
             self.param("bias", _bias_init_for_fan_in(fan_in), (self.features,), jnp.float32)
             if self.use_bias
             else None
         )
+        if self.quant:
+            from video_to_video_diffusion_tpu.ops.quant import int8_conv3d
+
+            kernel_q = self.param(
+                "kernel_q", nn.initializers.zeros, kshape, jnp.int8
+            )
+            kernel_scale = self.param(
+                "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
+            )
+            return int8_conv3d(
+                x, kernel_q, kernel_scale, bias,
+                stride=self.stride, padding=self.padding, out_dtype=self.dtype,
+            )
+        kernel = self.param("kernel", _KERNEL_INIT, kshape, jnp.float32)
         y = conv3d(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
@@ -75,6 +95,7 @@ class ConvTranspose3D(nn.Module):
     output_padding: Union[int, Sequence[int]] = 0
     use_bias: bool = True
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -85,14 +106,27 @@ class ConvTranspose3D(nn.Module):
         # torch uses weight.size(1) * receptive field = out * k^3 for the
         # bias bound; we mirror that.
         fan_in = self.features * ks[0] * ks[1] * ks[2]
-        kernel = self.param(
-            "kernel", _KERNEL_INIT, (*ks, in_ch, self.features), jnp.float32
-        )
+        kshape = (*ks, in_ch, self.features)
         bias = (
             self.param("bias", _bias_init_for_fan_in(fan_in), (self.features,), jnp.float32)
             if self.use_bias
             else None
         )
+        if self.quant:
+            from video_to_video_diffusion_tpu.ops.quant import int8_conv3d_transpose
+
+            kernel_q = self.param(
+                "kernel_q", nn.initializers.zeros, kshape, jnp.int8
+            )
+            kernel_scale = self.param(
+                "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
+            )
+            return int8_conv3d_transpose(
+                x, kernel_q, kernel_scale, bias,
+                stride=self.stride, padding=self.padding,
+                output_padding=self.output_padding, out_dtype=self.dtype,
+            )
+        kernel = self.param("kernel", _KERNEL_INIT, kshape, jnp.float32)
         return conv3d_transpose(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
@@ -134,6 +168,7 @@ class Conv3DBlock(nn.Module):
     num_groups: int = 8
     adaptive_groups: bool = False
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -148,6 +183,7 @@ class Conv3DBlock(nn.Module):
             self.stride,
             self.padding,
             dtype=self.dtype,
+            quant=self.quant,
             name="conv",
         )(x)
         x = GroupNorm(num_groups=groups, activation="silu", name="norm")(x)

@@ -79,6 +79,10 @@ class VideoToVideoDiffusion:
         # numerical stability, model.py:254-269).
         self.vae, self.unet = _make(self.policy.compute_dtype)
         self.vae_f32, self.unet_f32 = _make(jnp.float32)
+        # w8a8 int8 inference variant of the UNet (opt-in via the pipeline's
+        # quant='int8'): same architecture, heavy convs on the MXU's 2x int8
+        # path (ops/quant.py). Params for it come from quantize_unet_params.
+        self.unet_int8 = dataclasses.replace(self.unet, quant_int8=True)
         self.schedule: DiffusionSchedule = make_schedule(
             m.noise_schedule, m.diffusion_timesteps, m.beta_start, m.beta_end
         )
@@ -146,6 +150,26 @@ class VideoToVideoDiffusion:
     def vae_reconstruct(self, params, x, f32: bool = False):
         mod = self.vae_f32 if f32 else self.vae
         return mod.apply({"params": params["vae"]}, x)
+
+    # --------------------------------------------------------- int8 inference
+    def quantize_unet_params(self, params) -> Dict[str, Any]:
+        """Trained tree -> {'unet': int8 tree} for apply_unet_q.
+
+        Pure and jittable (jit it: the per-kernel abs-max/round passes over
+        ~270M params dispatch hundreds of ops eagerly on a remote backend).
+        """
+        from video_to_video_diffusion_tpu.models.quantize import (
+            quantize_params_like,
+            unet_int8_structure,
+        )
+
+        latent_shape = (1, 8, 16, 16, self.latent_dim)
+        structure = unet_int8_structure(self.unet_int8, latent_shape)
+        return {"unet": quantize_params_like(structure, params["unet"])}
+
+    def apply_unet_q(self, qparams, z_t, t, c):
+        """UNet forward on int8-quantized params (from quantize_unet_params)."""
+        return self.unet_int8.apply({"params": qparams["unet"]}, z_t, t, c)
 
     # ------------------------------------------------------------- training
     def loss_fn(

@@ -16,6 +16,7 @@ reference's torch.utils.checkpoint at :342-355).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
@@ -51,10 +52,16 @@ class TimeEmbedding(nn.Module):
 
 
 class ResBlockT(nn.Module):
-    """Residual block with timestep-embedding injection (unet3d.py:77-133)."""
+    """Residual block with timestep-embedding injection (unet3d.py:77-133).
+
+    `quant` switches the two 3x3x3 convs (where the FLOPs are) to the w8a8
+    int8 path; the 1x1x1 residual projection and time MLP stay at the
+    compute dtype (cheap, and the residual stream is precision-sensitive).
+    """
 
     features: int
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
@@ -64,13 +71,14 @@ class ResBlockT(nn.Module):
         else:
             residual = x
         h = Conv3DBlock(
-            self.features, adaptive_groups=True, dtype=self.dtype, name="conv1"
+            self.features, adaptive_groups=True, dtype=self.dtype,
+            quant=self.quant, name="conv1"
         )(x)
         # time injection: SiLU -> Dense -> broadcast add (unet3d.py:122-125)
         t = temb * jax.nn.sigmoid(temb)
         t = nn.Dense(self.features, dtype=self.dtype, name="time_mlp")(t)
         h = h + t[:, None, None, None, :]
-        h = Conv3D(self.features, 3, 1, 1, dtype=self.dtype, name="conv2")(h)
+        h = Conv3D(self.features, 3, 1, 1, dtype=self.dtype, quant=self.quant, name="conv2")(h)
         h = GroupNorm(num_groups=adaptive_num_groups(self.features), name="norm2")(h)
         h = h + residual
         return (h * jax.nn.sigmoid(h)).astype(h.dtype)
@@ -167,11 +175,13 @@ class Downsample3D(nn.Module):
 
     features: int
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         return Conv3D(
-            self.features, (3, 4, 4), (1, 2, 2), (1, 1, 1), dtype=self.dtype, name="conv"
+            self.features, (3, 4, 4), (1, 2, 2), (1, 1, 1), dtype=self.dtype,
+            quant=self.quant, name="conv"
         )(x)
 
 
@@ -180,11 +190,13 @@ class Upsample3D(nn.Module):
 
     features: int
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         return ConvTranspose3D(
-            self.features, (3, 4, 4), (1, 2, 2), (1, 1, 1), dtype=self.dtype, name="conv"
+            self.features, (3, 4, 4), (1, 2, 2), (1, 1, 1), dtype=self.dtype,
+            quant=self.quant, name="conv"
         )(x)
 
 
@@ -205,11 +217,19 @@ class UNet3D(nn.Module):
     time_embed_dim: int = 512
     use_checkpoint: bool = False
     dtype: Dtype = jnp.float32
+    # w8a8 int8 inference variant: quantizes the heavy res-block and
+    # down/upsample convs; conv_in/conv_out, attention, and the time path
+    # stay at the compute dtype. Parameter tree changes (kernel ->
+    # kernel_q + kernel_scale) — produce it with quantize.quantize_unet_params.
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
         num_levels = len(self.channel_mult)
-        Res = nn.remat(ResBlockT) if self.use_checkpoint else ResBlockT
+        Res = partial(
+            nn.remat(ResBlockT) if self.use_checkpoint else ResBlockT,
+            quant=self.quant_int8,
+        )
         Attn = nn.remat(TemporalAttention) if self.use_checkpoint else TemporalAttention
 
         temb = TimeEmbedding(
@@ -229,7 +249,10 @@ class UNet3D(nn.Module):
                     h = Attn(self.num_heads, dtype=self.dtype, name=f"down{level}_attn{i}")(h)
             skips.append(h)
             if level < num_levels - 1:
-                h = Downsample3D(out_ch, dtype=self.dtype, name=f"down{level}_ds")(h)
+                h = Downsample3D(
+                    out_ch, dtype=self.dtype, quant=self.quant_int8,
+                    name=f"down{level}_ds",
+                )(h)
 
         # ---- middle ----
         ch = self.model_channels * self.channel_mult[-1]
@@ -248,7 +271,10 @@ class UNet3D(nn.Module):
                 if mirror in self.attention_levels:
                     h = Attn(self.num_heads, dtype=self.dtype, name=f"up{level}_attn{i}")(h)
             if level < num_levels - 1:
-                h = Upsample3D(out_ch, dtype=self.dtype, name=f"up{level}_us")(h)
+                h = Upsample3D(
+                    out_ch, dtype=self.dtype, quant=self.quant_int8,
+                    name=f"up{level}_us",
+                )(h)
 
         # ---- output head ----  (unet3d.py:328-332)
         h = GroupNorm(num_groups=adaptive_num_groups(h.shape[-1]), activation="silu", name="out_norm")(h)
