@@ -44,6 +44,11 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--output", default="patch_eval")
     ap.add_argument("--viz-dir", default=None)
+    ap.add_argument(
+        "--quant", default=None, choices=["int8"],
+        help="run the sampling scan on the w8a8 UNet (ddim/edm only; "
+        "measures int8 quality vs the full-precision path)",
+    )
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -67,9 +72,11 @@ def main(argv=None):
         def gen(v, k, td):
             return staged_generate(
                 model, params, v, k, args.steps, target_depth=td,
-                sampler=args.sampler,
+                sampler=args.sampler, quant=args.quant,
             )
     else:
+        if args.quant:
+            raise SystemExit("--quant requires --sampler ddim or edm")
         _g = jax.jit(
             lambda v, k, td: model.generate(params, v, k, args.sampler, args.steps, target_depth=td),
             static_argnums=(2,),
@@ -100,6 +107,7 @@ def main(argv=None):
     ssims = [r["ssim"] for r in rows]
     summary = {
         "sampler": args.sampler,
+        "quant": args.quant,
         "steps": args.steps,
         "num_samples": len(rows),
         "psnr_mean": float(np.mean(psnrs)),
