@@ -183,8 +183,14 @@ class VAETrainer:
             if self.config.training.log_interval and i % self.config.training.log_interval == 0:
                 self.writer.add_scalar("vae_train/loss", float(aux["total"]), self.global_step)
                 self.writer.add_scalar("vae_train/psnr", float(aux["psnr"]), self.global_step)
+                # the schedule ticks once per optimizer step (MultiSteps), while
+                # global_step counts micro-steps — index by optimizer steps or
+                # the logged LR runs `accum`x ahead of the applied one
+                accum = max(self.config.training.gradient_accumulation_steps, 1)
                 self.writer.add_scalar(
-                    "vae_train/lr", float(self.lr_schedule(self.global_step)), self.global_step
+                    "vae_train/lr",
+                    float(self.lr_schedule(self.global_step // accum)),
+                    self.global_step,
                 )
         return {
             "loss": float(np.mean([float(l) for l in losses])),
