@@ -98,13 +98,19 @@ class VideoToVideoDiffusion:
                 "never honors false either, models/model.py:213-220)"
             )
         self.combined_loss = None
-        if lc.use_perceptual_loss or (lc.use_ms_ssim_loss and lc.lambda_ssim > 0):
+        if lc.use_perceptual_loss:
+            raise NotImplementedError(
+                "losses.use_perceptual_loss requires a pretrained torch VGG and "
+                "is not available on the TPU path (reference default configs "
+                f"disable it; requested lambda_perceptual={lc.lambda_perceptual} "
+                f"every {lc.perceptual_every_n_steps} steps)"
+            )
+        if lc.use_ms_ssim_loss and lc.lambda_ssim > 0:
             from video_to_video_diffusion_tpu.models.losses import CombinedLoss
 
             self.combined_loss = CombinedLoss(
-                lambda_ssim=lc.lambda_ssim if lc.use_ms_ssim_loss else 0.0,
+                lambda_ssim=lc.lambda_ssim,
                 ssim_every_n_steps=lc.ssim_every_n_steps,
-                use_perceptual=lc.use_perceptual_loss,  # raises: not on-TPU
             )
 
     # ------------------------------------------------------------------ init
