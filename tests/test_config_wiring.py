@@ -240,3 +240,47 @@ class TestHardwareKnobs:
         cfg = _tiny(training={"use_lpips": True})
         with pytest.raises(NotImplementedError):
             VAETrainer(cfg)
+
+
+def test_validation_path_measures_pure_diffusion_loss():
+    """step=None (the Trainer's _eval_loss path) must skip the gated aux
+    term entirely: val/loss stays the pure epsilon-MSE objective, comparable
+    to diffusion-only baselines and free of the per-batch VAE decode."""
+    base_model = VideoToVideoDiffusion("tiny_test")
+    params = base_model.init(jax.random.PRNGKey(0), patch_shape=(4, 32, 32))
+    ssim_model = VideoToVideoDiffusion(
+        _tiny(losses={"use_ms_ssim_loss": True, "lambda_ssim": 0.3,
+                      "ssim_every_n_steps": 1})  # gated on EVERY train step
+    )
+    v_in = jax.random.uniform(jax.random.PRNGKey(1), (1, 4, 32, 32, 1)) * 2 - 1
+    v_gt = jax.random.uniform(jax.random.PRNGKey(2), (1, 8, 32, 32, 1)) * 2 - 1
+    l_base, _ = base_model.loss_fn(params, v_in, v_gt, jax.random.PRNGKey(3))
+    l_eval, m_eval = ssim_model.loss_fn(params, v_in, v_gt, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(float(l_eval), float(l_base), rtol=1e-6)
+    assert "ms_ssim_loss" not in m_eval
+
+
+def test_train_step_gates_on_optimizer_steps():
+    """Gated aux losses must see the OPTIMIZER-step index: all micro-batches
+    of one accumulation group share the same gate, so the convex
+    (1-l)*mse + l*ssim combination applies uniformly within an update."""
+    import optax
+    from video_to_video_diffusion_tpu.training.state import (
+        TrainState, make_train_step,
+    )
+
+    def probe_loss(p, batch, key, step=None):
+        return (p["w"] ** 2).sum(), {"seen_step": jnp.asarray(step, jnp.int32)}
+
+    tx = optax.MultiSteps(optax.sgd(1e-3), every_k_schedule=4)
+    params = {"w": jnp.ones((2,))}
+    state = TrainState(
+        step=jnp.int32(0), params=params,
+        opt_state=tx.init(params), ema_params=None,
+    )
+    step_fn = jax.jit(make_train_step(probe_loss, tx, accum_steps=4))
+    seen = []
+    for _ in range(8):
+        state, metrics = step_fn(state, {}, jax.random.PRNGKey(0))
+        seen.append(int(metrics["seen_step"]))
+    assert seen == [0, 0, 0, 0, 1, 1, 1, 1], seen

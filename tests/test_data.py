@@ -206,3 +206,24 @@ def test_dicom_implicit_vr_roundtrip(tmp_path):
     s = read_dicom_slice(p)
     np.testing.assert_allclose(s.pixels, np.round(hu + 1024) - 1024, atol=1.0)
     assert s.instance_number == 7 and s.z_position == 3.5
+
+
+def test_volume_cache_thread_safe(tmp_path):
+    """num_workers>0 drives the LRU volume cache from a thread pool; under
+    eviction pressure an unlocked cache raced (popitem vs move_to_end) and
+    the swallowed KeyError silently substituted the NEXT patient's volume.
+    Every threaded draw must be bit-identical to the single-threaded one."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    cfg = _cfg(tmp_path, use_patches=False)
+    ref = SliceInterpolationDataset(cfg, "train")
+    expected = [ref[i]["input"].copy() for i in range(len(ref))]
+
+    # cache sized to hold ~2 volume pairs -> constant eviction churn
+    small = _cfg(tmp_path, use_patches=False, cache_size_bytes=2_500_000)
+    ds = SliceInterpolationDataset(small, "train")
+    idxs = [i % len(ds) for i in range(200)]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(lambda i: ds[i]["input"], idxs))
+    for i, got in zip(idxs, results):
+        np.testing.assert_array_equal(got, expected[i])

@@ -131,3 +131,20 @@ def test_generate_volume_int8(tiny):
         generate_volume(
             model, params, v, jax.random.PRNGKey(9), quant="fp4", **kw
         )
+
+
+def test_int8_tree_memoized_per_params(tiny):
+    """quant='int8' must quantize the UNet tree once per (model, params):
+    an N-sample eval loop or a timed bench pays the whole-tree
+    abs-max/round/scale pass a single time, not per generate call."""
+    from video_to_video_diffusion_tpu.inference.pipeline import (
+        _sample_params_and_apply,
+    )
+
+    model, params = tiny
+    qp1, apply1 = _sample_params_and_apply(model, params, "int8")
+    qp2, apply2 = _sample_params_and_apply(model, params, "int8")
+    assert qp1 is qp2  # memoized tree, not a fresh quantization pass
+    assert apply1 == apply2 == model.apply_unet_q
+    fp, applyf = _sample_params_and_apply(model, params, None)
+    assert fp is params and applyf == model.apply_unet

@@ -21,6 +21,7 @@ import json
 import os
 import shutil
 import tempfile
+import threading
 import zipfile
 from collections import OrderedDict
 from dataclasses import dataclass
@@ -239,23 +240,32 @@ class SliceInterpolationDataset:
         self._cache: "OrderedDict[int, Tuple[np.ndarray, np.ndarray]]" = OrderedDict()
         self._cache_bytes = 0
         self._cache_limit = max(int(self.cfg.cache_size_bytes), 0)
+        # loader.num_workers > 0 calls __getitem__ from a thread pool; an
+        # unlocked OrderedDict races between the eviction popitem and a
+        # concurrent hit's move_to_end — the resulting KeyError would be
+        # swallowed by the retry chain below and silently substitute the
+        # NEXT patient's volume. Lock all cache mutations (np.load itself
+        # runs outside the lock so decompression still parallelizes).
+        self._cache_lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self.files)
 
     def _load_raw(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
-        if idx in self._cache:
-            self._cache.move_to_end(idx)
-            return self._cache[idx]
+        with self._cache_lock:
+            if idx in self._cache:
+                self._cache.move_to_end(idx)
+                return self._cache[idx]
         with np.load(self.files[idx]) as z:
             pair = (z["input"], z["target"])  # float16 (D, H, W)
         nbytes = pair[0].nbytes + pair[1].nbytes
         if self._cache_limit and nbytes <= self._cache_limit:
-            while self._cache_bytes + nbytes > self._cache_limit and self._cache:
-                _, old = self._cache.popitem(last=False)
-                self._cache_bytes -= old[0].nbytes + old[1].nbytes
-            self._cache[idx] = pair
-            self._cache_bytes += nbytes
+            with self._cache_lock:
+                while self._cache_bytes + nbytes > self._cache_limit and self._cache:
+                    _, old = self._cache.popitem(last=False)
+                    self._cache_bytes -= old[0].nbytes + old[1].nbytes
+                self._cache[idx] = pair
+                self._cache_bytes += nbytes
         return pair
 
     def __getitem__(self, idx: int, _retries: int = 10) -> Dict[str, np.ndarray]:

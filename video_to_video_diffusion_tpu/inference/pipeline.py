@@ -45,16 +45,23 @@ def _sample_params_and_apply(model, params, quant):
     """Resolve the (params, unet-apply) pair for a sampling stage.
 
     quant=None keeps the trained tree + compute-dtype UNet; quant='int8'
-    quantizes the UNet kernels ONCE per call (jitted, cached per model) and
-    routes through the w8a8 variant (models/quantize.py, ops/quant.py)."""
+    quantizes the UNet kernels ONCE per (model, params tree) — the
+    quantized tree is memoized so an N-sample eval loop (or a timed bench
+    run) pays the whole-tree abs-max/round/scale pass and its HBM copy a
+    single time, not per generate call. The cache entry holds a strong
+    reference to the source tree so its id() cannot be recycled while the
+    memo is live."""
     if quant is None:
         return params, model.apply_unet
     if quant == "int8":
-        quantizer = _cached(
-            "quantize", (id(model),), lambda: jax.jit(model.quantize_unet_params)
-        )
-        qp = dict(params)
-        qp.update(quantizer(params))
+        def _quantize_tree():
+            quantizer = _cached(
+                "quantize", (id(model),), lambda: jax.jit(model.quantize_unet_params)
+            )
+            qp = dict(params)
+            qp.update(quantizer(params))
+            return (params, qp)
+        _, qp = _cached("quantized_tree", (id(model), id(params)), _quantize_tree)
         return qp, model.apply_unet_q
     raise ValueError(f"Unknown quant mode {quant!r}; expected one of {_QUANT_MODES}")
 

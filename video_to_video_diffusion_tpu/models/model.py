@@ -193,8 +193,11 @@ class VideoToVideoDiffusion:
           v_in: conditioning (thick) volume (B, D_in, H, W, C) in [-1, 1].
           v_gt: target (thin) volume (B, D_gt, H, W, C) in [-1, 1].
           mask: optional (B, D_gt) depth validity mask (full-volume mode).
-          step: traced micro-step counter; gates the every-N MS-SSIM term
-            when losses.use_ms_ssim_loss is on (None = always gated-on).
+          step: traced optimizer-step index; gates the every-N MS-SSIM term
+            when losses.use_ms_ssim_loss is on. None (the validation path)
+            skips the aux term entirely so val/loss always measures the
+            pure epsilon-MSE objective — comparable across configs and to
+            diffusion-only baselines, and free of the per-batch VAE decode.
         """
         z_in = jax.lax.stop_gradient(self.encode(params, v_in))
         z_gt = jax.lax.stop_gradient(self.encode(params, v_gt))
@@ -219,7 +222,7 @@ class VideoToVideoDiffusion:
         loss, metrics = diffusion_training_loss(
             self.schedule, eps_pred, noise, t, mask=z_mask
         )
-        if self.combined_loss is not None:
+        if self.combined_loss is not None and step is not None:
             # Gated MS-SSIM on the decoded predicted volume (reference
             # diffusion.py:204-243). The decode is differentiable through
             # z0_pred into the UNet; the VAE weights themselves see no
@@ -235,11 +238,7 @@ class VideoToVideoDiffusion:
                 v_pred = self.decode(frozen_vae, z0_pred)
                 return v_pred, v_gt
 
-            loss, aux = self.combined_loss(
-                loss,
-                step if step is not None else jnp.int32(0),
-                decoded_fn=decoded,
-            )
+            loss, aux = self.combined_loss(loss, step, decoded_fn=decoded)
             metrics = {**metrics, **{k: v for k, v in aux.items() if k != "total"}}
         return loss, metrics
 

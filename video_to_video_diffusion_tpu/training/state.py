@@ -124,8 +124,13 @@ def make_train_step(
     """Build a jittable train step.
 
     loss_fn(params, batch, key) -> (loss, metrics dict); a loss_fn declaring
-    a 4th `step` parameter additionally receives the traced micro-step
-    counter (for every-N-step gated aux losses). The returned step
+    a 4th `step` parameter additionally receives the traced OPTIMIZER-step
+    index (state.step // accum_steps) so every-N-step gated aux losses fire
+    for ALL micro-batches of a gated optimizer step — gating on the raw
+    micro-step counter would down-weight one micro-batch's diffusion
+    gradient relative to its accumulation peers and shrink the effective
+    aux weight to ~lambda/accum (same micro- vs optimizer-step confusion
+    the VAE LR log had). The returned step
     computes grads, applies the (possibly accumulating) optimizer, and
     reports loss + global grad norm. With a ('data',)-sharded batch under
     jit, XLA inserts the gradient psum automatically.
@@ -143,7 +148,8 @@ def make_train_step(
     def train_step(state: TrainState, batch: Dict, key: jax.Array):
         def loss_wrapped(p):
             if wants_step:
-                return loss_fn(p, batch, key, step=state.step)
+                opt_step = state.step // max(accum_steps, 1)
+                return loss_fn(p, batch, key, step=opt_step)
             return loss_fn(p, batch, key)
 
         (loss, metrics), grads = jax.value_and_grad(loss_wrapped, has_aux=True)(

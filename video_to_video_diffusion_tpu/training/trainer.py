@@ -420,6 +420,12 @@ class Trainer:
             "best_loss": self.best_loss,
             "current_phase": self.current_phase,
             "has_ema": self.state.ema_params is not None,
+            # UNet Conv3DBlock GroupNorm rule (ops/norm.py). The torch-parity
+            # fix switched 128-ch conv blocks from 32 groups (adaptive rule)
+            # to the reference's prefer-8 rule; parameter shapes are identical
+            # so a pre-fix checkpoint restores silently but computes different
+            # activations. Recording the rule lets restore detect that.
+            "unet_norm_rule": "conv_prefer8",
             "config": self.config.to_dict(),
         }
 
@@ -459,6 +465,15 @@ class Trainer:
             saved_phase = int(saved_meta.get("current_phase", 1))
             if saved_phase != self.current_phase:
                 self.set_phase(saved_phase)
+            if saved_meta.get("unet_norm_rule", None) != "conv_prefer8":
+                self.logger.warning(
+                    "checkpoint %s has no unet_norm_rule metadata. If it was "
+                    "trained before the Conv3DBlock GroupNorm parity fix "
+                    "(prefer-8 rule, ops/norm.py:conv_block_num_groups), it "
+                    "used 32 groups at 128 channels and will restore silently "
+                    "(same param shapes) but compute different activations "
+                    "than its original run", path,
+                )
         target = self._ckpt_state()
         base = {"params": target["params"], "opt_state": target["opt_state"]}
         ema_enabled = "ema_params" in target
