@@ -49,6 +49,13 @@ def main(argv=None):
         help="run the sampling scan on the w8a8 UNet (ddim/edm only; "
         "measures int8 quality vs the full-precision path)",
     )
+    ap.add_argument(
+        "--params", default="auto", choices=["auto", "ema", "raw"],
+        help="which weights to score: auto = EMA when present (what "
+        "best-checkpoint selection scored), raw = live params (use for "
+        "checkpoints written before EMA decay warmup, where an early EMA "
+        "still carries the random init)",
+    )
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -57,13 +64,13 @@ def main(argv=None):
     configure_platform(cfg.hardware.device)
     model = VideoToVideoDiffusion(cfg)
     restored, _meta = load_checkpoint(args.checkpoint)
-    # EMA-trained checkpoints: evaluate the averaged weights (the ones
-    # training-time best-checkpoint selection scored)
-    params = (
-        restored["ema_params"]
-        if restored.get("ema_params") is not None
-        else restored["params"]
+    use_ema = (
+        args.params == "ema"
+        or (args.params == "auto" and restored.get("ema_params") is not None)
     )
+    if args.params == "ema" and restored.get("ema_params") is None:
+        raise SystemExit("--params ema: checkpoint has no ema_params")
+    params = restored["ema_params"] if use_ema else restored["params"]
 
     loader = get_unified_dataloader(cfg, args.split)
     if args.sampler in ("ddim", "edm"):
@@ -108,6 +115,7 @@ def main(argv=None):
     summary = {
         "sampler": args.sampler,
         "quant": args.quant,
+        "params": "ema" if use_ema else "raw",
         "steps": args.steps,
         "num_samples": len(rows),
         "psnr_mean": float(np.mean(psnrs)),

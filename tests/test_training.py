@@ -312,7 +312,8 @@ def test_ema_params_track_and_checkpoint(tmp_path):
 
 
 def test_ema_single_step_closed_form():
-    """One optimizer step: ema = d*init + (1-d)*new_params exactly."""
+    """One optimizer step: ema = d*init + (1-d)*new_params exactly, with the
+    warmed-up decay d = min(ema_decay, (1+t)/(10+t)) at t=1."""
     import optax
     from video_to_video_diffusion_tpu.training.state import (
         create_train_state,
@@ -328,9 +329,43 @@ def test_ema_single_step_closed_form():
 
     step = jax.jit(make_train_step(loss_fn, tx, ema_decay=0.5))
     new_state, _ = step(state, {}, jax.random.PRNGKey(0))
-    # sgd: w' = 1 - 0.1*2 = 0.8; ema = 0.5*1 + 0.5*0.8 = 0.9
+    # sgd: w' = 1 - 0.1*2 = 0.8; d = min(0.5, 2/11) = 2/11
+    d = 2.0 / 11.0
     np.testing.assert_allclose(np.asarray(new_state.params["w"]), 0.8, rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(new_state.ema_params["w"]), 0.9, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(new_state.ema_params["w"]), d * 1.0 + (1 - d) * 0.8, rtol=1e-5
+    )
+
+
+def test_ema_decay_warmup_sheds_init():
+    """With decay 0.999, a flat EMA would keep 0.999^20 = 98% of the random
+    init after 20 steps; the warmed-up decay must shed it (the 10 dB
+    eval-on-early-checkpoint regression). Also checks the exact recursion."""
+    import optax
+    from video_to_video_diffusion_tpu.training.state import (
+        create_train_state,
+        make_train_step,
+    )
+
+    params = {"w": jnp.float32(1.0)}
+    tx = optax.sgd(0.01)
+    state = create_train_state(params, tx, ema=True)
+
+    def loss_fn(p, batch, key):
+        return p["w"] ** 2, {}
+
+    step = jax.jit(make_train_step(loss_fn, tx, ema_decay=0.999))
+    w, ema = 1.0, 1.0
+    for t in range(1, 21):
+        state, _ = step(state, {}, jax.random.PRNGKey(t))
+        w = w - 0.01 * 2 * w
+        d = min(0.999, (1.0 + t) / (10.0 + t))
+        ema = d * ema + (1 - d) * w
+    np.testing.assert_allclose(float(state.params["w"]), w, rtol=1e-5)
+    np.testing.assert_allclose(float(state.ema_params["w"]), ema, rtol=1e-5)
+    # the EMA tracks the live params far more closely than flat 0.999 would
+    flat = (0.999**20) * 1.0 + (1 - 0.999**20) * w  # ≈ init
+    assert abs(float(state.ema_params["w"]) - w) < 0.2 * abs(flat - w)
 
 
 def test_ema_off_keeps_none():
