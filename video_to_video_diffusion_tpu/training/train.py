@@ -15,6 +15,7 @@ import argparse
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 
 from video_to_video_diffusion_tpu.config import Config, load_config
 from video_to_video_diffusion_tpu.data.loader import get_unified_dataloader
@@ -87,6 +88,14 @@ def main(argv=None) -> Dict[str, float]:
     parser = argparse.ArgumentParser(description="Train the latent diffusion model")
     parser.add_argument("--config", type=str, default="slice_interpolation_full_medium")
     parser.add_argument("--resume", type=str, default=None)
+    parser.add_argument(
+        "--reset-ema",
+        action="store_true",
+        help="on resume, reinitialize ema_params from the live params. Use "
+        "when resuming a checkpoint whose EMA predates decay warmup (flat "
+        "decay keeps decay^t of the random init, so an early checkpoint's "
+        "average scores the init, not the model).",
+    )
     args = parser.parse_args(argv)
     logger = setup_logger("train")
 
@@ -135,6 +144,13 @@ def main(argv=None) -> Dict[str, float]:
     resume = args.resume or find_best_checkpoint(trainer.ckpt_dir, trainer.suffix)
     if resume:
         trainer.load_checkpoint(resume)
+        if args.reset_ema and trainer.state.ema_params is not None:
+            trainer.state = trainer.state.replace(
+                ema_params=jax.tree_util.tree_map(
+                    lambda x: jnp.array(x, copy=True), trainer.state.params
+                )
+            )
+            logger.info("ema_params reset from live params (--reset-ema)")
     return trainer.train()
 
 
