@@ -386,3 +386,33 @@ def test_ema_off_keeps_none():
     step = jax.jit(make_train_step(loss_fn, tx))
     new_state, _ = step(state, {}, jax.random.PRNGKey(0))
     assert new_state.ema_params is None
+
+
+def test_reset_ema_reseeds_from_live_params(tmp_path):
+    """Trainer.reset_ema (train CLI --reset-ema) replaces an init-polluted
+    average with a copy of the live params; no-op when EMA is off."""
+    cfg = _tiny_cfg(tmp_path, **{"training.ema_decay": 0.9})
+    model = VideoToVideoDiffusion(cfg)
+    loader = get_unified_dataloader(cfg, "train")
+    tr = Trainer(model, cfg, loader, None)
+    # make the average diverge from the live params
+    tr.state = tr.state.replace(
+        ema_params=jax.tree_util.tree_map(
+            lambda x: x + 1.0, tr.state.ema_params
+        )
+    )
+    a = jax.tree_util.tree_leaves(tr.state.ema_params)[0]
+    b = jax.tree_util.tree_leaves(tr.state.params)[0]
+    assert not np.array_equal(np.asarray(a), np.asarray(b))
+    tr.reset_ema()
+    for e, p in zip(
+        jax.tree_util.tree_leaves(tr.state.ema_params),
+        jax.tree_util.tree_leaves(tr.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
+
+    cfg2 = _tiny_cfg(tmp_path / "noema")
+    tr2 = Trainer(VideoToVideoDiffusion(cfg2), cfg2, loader, None)
+    assert tr2.state.ema_params is None
+    tr2.reset_ema()  # must not raise
+    assert tr2.state.ema_params is None

@@ -15,7 +15,6 @@ import argparse
 from typing import Dict, Optional
 
 import jax
-import jax.numpy as jnp
 
 from video_to_video_diffusion_tpu.config import Config, load_config
 from video_to_video_diffusion_tpu.data.loader import get_unified_dataloader
@@ -144,13 +143,8 @@ def main(argv=None) -> Dict[str, float]:
     resume = args.resume or find_best_checkpoint(trainer.ckpt_dir, trainer.suffix)
     if resume:
         trainer.load_checkpoint(resume)
-        if args.reset_ema and trainer.state.ema_params is not None:
-            trainer.state = trainer.state.replace(
-                ema_params=jax.tree_util.tree_map(
-                    lambda x: jnp.array(x, copy=True), trainer.state.params
-                )
-            )
-            logger.info("ema_params reset from live params (--reset-ema)")
+        if args.reset_ema:
+            trainer.reset_ema()
     return trainer.train()
 
 

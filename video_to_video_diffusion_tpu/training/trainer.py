@@ -535,6 +535,23 @@ class Trainer:
             "resumed from %s at epoch %d (step %d)", path, self.epoch, self.global_step
         )
 
+    def reset_ema(self) -> None:
+        """Reinitialize ema_params from the live params.
+
+        For resuming checkpoints whose EMA predates decay warmup: a flat
+        decay keeps decay^t of the random init in the average, so an early
+        checkpoint's EMA scores the init, not the model (docs/RESULTS.md,
+        round-2 EMA-warmup finding). No-op when EMA is disabled.
+        """
+        if self.state.ema_params is None:
+            return
+        self.state = self.state.replace(
+            ema_params=jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), self.state.params
+            )
+        )
+        self.logger.info("ema_params reset from live params")
+
     # ------------------------------------------------------------------ run
     def train(self) -> Dict[str, float]:
         t = self.config.training
