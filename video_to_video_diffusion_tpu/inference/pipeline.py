@@ -273,11 +273,16 @@ def generate_volume(
 
 
 def _cost_flops(jitted, *args) -> float:
-    """Model FLOPs of one invocation via XLA's AOT cost analysis."""
-    cost = jitted.lower(*args).compile().cost_analysis()
-    if isinstance(cost, (list, tuple)):
-        cost = cost[0] if cost else {}
-    return float((cost or {}).get("flops", 0.0))
+    """Model FLOPs of one invocation (analytic jaxpr count, ops/flops.py).
+
+    XLA's `compiled.cost_analysis()['flops']` was measured ~5x low on the
+    UNet forward on the TPU backend (it reports the post-optimization
+    executable's count, not model FLOPs), so MFU uses the closed-form
+    conv/dot count instead.
+    """
+    from video_to_video_diffusion_tpu.ops.flops import count_flops
+
+    return count_flops(jitted, *args)
 
 
 def generate_volume_flops(
@@ -297,7 +302,8 @@ def generate_volume_flops(
     Reuses the SAME cached encode/decode stage jits as generate_volume
     (identical cache keys). Returns {'sample', 'encode', 'decode', 'total'}
     FLOPs, where 'sample' = per-eval UNet FLOPs x the sampler's UNet eval
-    count (see the in-body comment on scan cost-analysis semantics).
+    count. FLOPs are the analytic conv/dot counts (ops/flops.py), not XLA
+    cost analysis — see _cost_flops.
     """
     _, D_thick, H_full, W_full, C = volume_shape
     pd, ph, pw = patch_size
@@ -320,12 +326,10 @@ def generate_volume_flops(
     f = model.spatial_factor
     z_shape = (Np, pd * ratio, ph // f, pw // f, model.latent_dim)
 
-    # XLA cost analysis counts a lax.scan body exactly ONCE regardless of
-    # trip count (verified: identical 'flops' for length-5 vs length-50
-    # scans), so the sample stage is reconstructed as per-eval UNet FLOPs x
-    # the sampler's eval count. Sampler arithmetic outside the UNet is a few
-    # elementwise ops on the tiny latents — negligible and deliberately
-    # excluded (this is model FLOPs, the MFU numerator convention).
+    # The sample stage is per-eval UNet FLOPs x the sampler's eval count
+    # (cheaper than tracing the whole sampling scan, and exactly equivalent:
+    # sampler arithmetic outside the UNet is a few elementwise ops on the
+    # tiny latents — excluded by the model-FLOPs MFU numerator convention).
     unet_fwd = jax.jit(
         lambda p, z, t, c: model.apply_unet(p, z, t, c).astype(jnp.float32)
     )
