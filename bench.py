@@ -119,7 +119,7 @@ def main() -> None:
     elapsed = time.time() - t0
 
     # Achieved FLOP/s + MFU via the analytic conv/dot model-FLOP count
-    # (ops/flops.py; XLA cost analysis measured ~5x low on the UNet —
+    # (ops/flops.py; XLA cost analysis measured ~9x low on the UNet —
     # VERDICT r1 item 5). v5e peak: 197 TFLOP/s bf16.
     tflops = mfu = None
     try:

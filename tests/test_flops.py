@@ -61,3 +61,18 @@ def test_unet_flops_scale_with_batch():
     f1, f2 = fwd(1), fwd(2)
     assert f1 > 0 and np.isfinite(f1)
     np.testing.assert_allclose(f2, 2 * f1, rtol=1e-6)
+
+
+def test_conv_transpose_counts_real_macs_only():
+    """A stride-(1,2,2) transposed conv lowers to an lhs-dilated conv; the
+    count must be the real MACs (dense formula / prod(dilation))."""
+    from video_to_video_diffusion_tpu.ops.conv import conv3d_transpose
+
+    x = jnp.zeros((1, 4, 8, 8, 6), jnp.float32)
+    k = jnp.zeros((3, 4, 4, 6, 12), jnp.float32)
+    f = lambda x, k: conv3d_transpose(
+        x, k, None, stride=(1, 2, 2), padding=(1, 1, 1)
+    )
+    out = jax.eval_shape(f, x, k)
+    dense = 2 * np.prod(out.shape) * 6 * (3 * 4 * 4)
+    assert count_flops(f, x, k) == dense / 4

@@ -275,10 +275,10 @@ def generate_volume(
 def _cost_flops(jitted, *args) -> float:
     """Model FLOPs of one invocation (analytic jaxpr count, ops/flops.py).
 
-    XLA's `compiled.cost_analysis()['flops']` was measured ~5x low on the
-    UNet forward on the TPU backend (it reports the post-optimization
-    executable's count, not model FLOPs), so MFU uses the closed-form
-    conv/dot count instead.
+    XLA's `compiled.cost_analysis()['flops']` was measured ~9x low on the
+    UNet forward on the TPU backend — it reports the post-optimization
+    executable's count, not model FLOPs — so MFU uses the closed-form
+    conv/dot count instead (docs/RESULTS.md, MFU section).
     """
     from video_to_video_diffusion_tpu.ops.flops import count_flops
 

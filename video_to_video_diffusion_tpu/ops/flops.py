@@ -2,7 +2,7 @@
 
 Why not XLA's `compiled.cost_analysis()['flops']`: on the TPU backend it
 reports the *post-optimization* flop count of the lowered executable, which
-undercounts convolutions that XLA rewrites (measured ~5x low on the UNet
+undercounts convolutions that XLA rewrites (measured ~9x low on the UNet
 forward vs the closed-form conv count — see docs/RESULTS.md, MFU section).
 MFU's numerator is conventionally *model* FLOPs (2 x MACs of the math the
 model defines), so we count the traced primitives directly:
@@ -40,14 +40,17 @@ def _conv_flops(eqn) -> float:
     out_shape = eqn.outvars[0].aval.shape
     kernel_shape = eqn.invars[1].aval.shape
     dn = eqn.params["dimension_numbers"]
-    groups = float(eqn.params.get("feature_group_count", 1) or 1)
     # rhs_spec: (out_ch_dim, in_ch_dim, *spatial_dims)
     rhs_spec = dn.rhs_spec
     c_in = kernel_shape[rhs_spec[1]]  # per-group input channels already
     k_spatial = _prod(kernel_shape[d] for d in rhs_spec[2:])
-    # batch_group_count divides the batch dim of out; prod(out) covers it.
-    del groups  # c_in from the kernel is already per-group
-    return 2.0 * _prod(out_shape) * float(c_in) * k_spatial
+    # Transposed convs arrive as lhs-dilated convs: only ~1/prod(dilation)
+    # of the kernel taps hit real (non-inserted-zero) input, so the dense
+    # formula overcounts by that factor (exact up to edge effects).
+    lhs_dil = _prod(eqn.params.get("lhs_dilation") or (1,))
+    # batch/feature_group_count: prod(out) covers batch; kernel c_in is
+    # already per-group.
+    return 2.0 * _prod(out_shape) * float(c_in) * k_spatial / lhs_dil
 
 
 def _dot_flops(eqn) -> float:
