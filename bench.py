@@ -20,8 +20,12 @@ Env knobs:
   BENCH_STEPS   DDIM steps (default 50)
   BENCH_DC      encode/decode chunk size (default 5)
   BENCH_SMALL   1 = tiny proxy config for quick CPU smoke runs
-  BENCH_QUANT   'int8' = run the DDIM scan on the w8a8 UNet (ops/quant.py);
-                default keeps the trained bf16 path
+  BENCH_QUANT   sampling-scan precision. Default 'int8' (w8a8 UNet,
+                ops/quant.py) — measured quality-neutral on the trained
+                checkpoint (paired DDIM-50 eval: 12.997 dB vs bf16's
+                12.972 dB, docs/RESULTS.md) and 43.1 s vs bf16's 55.7 s.
+                'bf16'/'none' = the trained-precision path. The JSON line
+                records which path ran in its "quant" field.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -46,7 +50,9 @@ def main() -> None:
     small = os.environ.get("BENCH_SMALL") == "1"
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     vae_batch = int(os.environ.get("BENCH_DC", "5"))
-    quant = os.environ.get("BENCH_QUANT") or None
+    quant = os.environ.get("BENCH_QUANT", "int8").lower()
+    if quant in ("", "none", "bf16", "fp", "off"):
+        quant = None
     from video_to_video_diffusion_tpu.utils.platform import (
         configure_platform,
         enable_compilation_cache,
