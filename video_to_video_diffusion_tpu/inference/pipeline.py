@@ -54,14 +54,24 @@ def _sample_params_and_apply(model, params, quant):
     if quant is None:
         return params, model.apply_unet
     if quant == "int8":
-        def _quantize_tree():
-            quantizer = _cached(
-                "quantize", (id(model),), lambda: jax.jit(model.quantize_unet_params)
-            )
-            qp = dict(params)
-            qp.update(quantizer(params))
-            return (params, qp)
-        _, qp = _cached("quantized_tree", (id(model), id(params)), _quantize_tree)
+        ck = ("quantized_tree", id(model), id(params))
+        if ck in _STAGE_CACHE:
+            return _STAGE_CACHE[ck][1], model.apply_unet_q
+        quantizer = _cached(
+            "quantize", (id(model),), lambda: jax.jit(model.quantize_unet_params)
+        )
+        qp = dict(params)
+        qp.update(quantizer(params))
+        if not any(
+            isinstance(leaf, jax.core.Tracer)
+            for leaf in jax.tree_util.tree_leaves(qp)
+        ):
+            _STAGE_CACHE[ck] = (params, qp)
+        # else: inside an outer trace (e.g. the sharded stitcher's chunk
+        # runner) even a concrete-arg inner jit is staged out, so the
+        # quantized leaves are tracers — memoizing them would leak out of
+        # the trace. Recomputing per trace is fine: quantization stays
+        # outside the sampling scan, which still carries int8 weights.
         return qp, model.apply_unet_q
     raise ValueError(f"Unknown quant mode {quant!r}; expected one of {_QUANT_MODES}")
 
