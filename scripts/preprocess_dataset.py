@@ -54,7 +54,14 @@ def main(argv=None):
         d = cfg.data
 
     if d.synthetic_num_patients:
-        files = ensure_synthetic_cache(d.processed_dir, d.synthetic_num_patients, seed=d.seed)
+        files = ensure_synthetic_cache(
+            d.processed_dir,
+            d.synthetic_num_patients,
+            thin_depth=d.synthetic_thin_depth,
+            height=d.synthetic_height,
+            width=d.synthetic_width,
+            seed=d.seed,
+        )
         logger.info("synthetic cache: %d patients in %s", len(files), d.processed_dir)
     else:
         files = preprocess_all_patients(d, logger=logger)
