@@ -94,6 +94,7 @@ class _ConvParams(nn.Module):
 
     features: int
     in_channels: int
+    quant: bool = False
 
     @nn.compact
     def __call__(self):
@@ -102,14 +103,20 @@ class _ConvParams(nn.Module):
             _bias_init_for_fan_in,
         )
 
-        kernel = self.param(
-            "kernel", _KERNEL_INIT, (1, 1, 1, self.in_channels, self.features),
-            jnp.float32,
-        )
+        kshape = (1, 1, 1, self.in_channels, self.features)
         bias = self.param(
             "bias", _bias_init_for_fan_in(self.in_channels), (self.features,),
             jnp.float32,
         )
+        if self.quant:
+            # w8a8 variant: same leaves the conv modules use, so
+            # models/quantize.quantize_params_like fills them structurally.
+            kernel_q = self.param("kernel_q", nn.initializers.zeros, kshape, jnp.int8)
+            kernel_scale = self.param(
+                "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
+            )
+            return (kernel_q, kernel_scale), bias
+        kernel = self.param("kernel", _KERNEL_INIT, kshape, jnp.float32)
         return kernel, bias
 
 
@@ -135,6 +142,11 @@ class TemporalAttention(nn.Module):
 
     num_heads: int = 4
     dtype: Dtype = jnp.float32
+    # w8a8 int8 variant for the qkv/out projections (where the attention
+    # block's MXU FLOPs are); the logits/softmax/value path stays at the
+    # compute dtype with an f32 softmax. Parameter tree gains the same
+    # kernel_q/kernel_scale leaves the quantized convs use.
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -144,15 +156,32 @@ class TemporalAttention(nn.Module):
         residual = x
         h = GroupNorm(num_groups=adaptive_num_groups(C), name="norm")(x)
 
-        wqkv, bqkv = _ConvParams(C * 3, C, name="qkv")()
-        wo, bo = _ConvParams(C, C, name="proj_out")()
+        wqkv, bqkv = _ConvParams(C * 3, C, quant=self.quant, name="qkv")()
+        wo, bo = _ConvParams(C, C, quant=self.quant, name="proj_out")()
         dt = self.dtype
         xs = h.reshape(B, D, H * W, C).astype(dt)
-        w3 = wqkv[0, 0, 0].astype(dt).reshape(C, 3, hd, e)
-        b3 = bqkv.astype(dt).reshape(3, hd, e)[:, None, :, None, None, :]
-        q = jnp.einsum("bdsc,che->bhsde", xs, w3[:, 0]) + b3[0]
-        k = jnp.einsum("bdsc,che->bhsde", xs, w3[:, 1]) + b3[1]
-        v = jnp.einsum("bdsc,che->bhsde", xs, w3[:, 2]) + b3[2]
+        b3 = bqkv.astype(jnp.float32).reshape(3, hd, e)[:, None, :, None, None, :]
+        if self.quant:
+            from video_to_video_diffusion_tpu.ops.quant import (
+                int8_einsum,
+                quantize_activation_dynamic,
+            )
+
+            wqkv_q, sqkv = wqkv
+            w3q = wqkv_q[0, 0, 0].reshape(C, 3, hd, e)
+            s3 = sqkv.reshape(3, hd, e)[:, None, :, None, None, :]
+            xq, sx = quantize_activation_dynamic(xs)
+            qkv = [
+                (int8_einsum("bdsc,che->bhsde", xq, sx * s3[i], w3q[:, i], 1.0)
+                 + b3[i]).astype(dt)
+                for i in range(3)
+            ]
+            q, k, v = qkv
+        else:
+            w3 = wqkv[0, 0, 0].astype(dt).reshape(C, 3, hd, e)
+            q = jnp.einsum("bdsc,che->bhsde", xs, w3[:, 0]) + b3[0].astype(dt)
+            k = jnp.einsum("bdsc,che->bhsde", xs, w3[:, 1]) + b3[1].astype(dt)
+            v = jnp.einsum("bdsc,che->bhsde", xs, w3[:, 2]) + b3[2].astype(dt)
 
         logits = jnp.einsum(
             "bhsde,bhsfe->bhsdf", q, k, preferred_element_type=dt
@@ -165,8 +194,15 @@ class TemporalAttention(nn.Module):
             preferred_element_type=jnp.float32,
         ).astype(dt)
 
-        wo3 = wo[0, 0, 0].astype(dt).reshape(hd, e, C)
-        y = jnp.einsum("bhsde,hec->bdsc", out, wo3) + bo.astype(dt)
+        if self.quant:
+            wo_q, so = wo
+            wo3q = wo_q[0, 0, 0].reshape(hd, e, C)
+            oq, sout = quantize_activation_dynamic(out)
+            y = (int8_einsum("bhsde,hec->bdsc", oq, sout, wo3q, so)
+                 + bo.astype(jnp.float32)).astype(dt)
+        else:
+            wo3 = wo[0, 0, 0].astype(dt).reshape(hd, e, C)
+            y = jnp.einsum("bhsde,hec->bdsc", out, wo3) + bo.astype(dt)
         return y.reshape(B, D, H, W, C) + residual
 
 
@@ -230,7 +266,10 @@ class UNet3D(nn.Module):
             nn.remat(ResBlockT) if self.use_checkpoint else ResBlockT,
             quant=self.quant_int8,
         )
-        Attn = nn.remat(TemporalAttention) if self.use_checkpoint else TemporalAttention
+        Attn = partial(
+            nn.remat(TemporalAttention) if self.use_checkpoint else TemporalAttention,
+            quant=self.quant_int8,
+        )
 
         temb = TimeEmbedding(
             self.model_channels, self.time_embed_dim, dtype=self.dtype, name="time_embed"

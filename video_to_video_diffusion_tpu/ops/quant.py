@@ -76,6 +76,24 @@ def int8_conv3d(
     return out.astype(out_dtype)
 
 
+def int8_einsum(
+    eq: str,
+    x_q: jnp.ndarray,
+    x_scale: jnp.ndarray,
+    w_q: jnp.ndarray,
+    w_scale: jnp.ndarray,
+) -> jnp.ndarray:
+    """int8 x int8 einsum -> int32 on the MXU -> f32 rescale.
+
+    `w_scale` must broadcast against the einsum output (put the per-output-
+    channel axis where the output has it). Returns f32; caller adds bias and
+    casts. Used for the attention qkv/out projections, which are plain dots
+    once the 1x1x1 conv kernels are reshaped (models/unet3d.py docstring).
+    """
+    y = jnp.einsum(eq, x_q, w_q, preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * (x_scale * w_scale)
+
+
 def int8_conv3d_transpose(
     x: jnp.ndarray,
     kernel_q: jnp.ndarray,
