@@ -24,8 +24,11 @@ Env knobs:
                 ops/quant.py) — measured quality-neutral on the trained
                 checkpoint (paired DDIM-50 eval: 12.997 dB vs bf16's
                 12.972 dB, docs/RESULTS.md) and 43.1 s vs bf16's 55.7 s.
-                'bf16'/'none' = the trained-precision path. The JSON line
-                records which path ran in its "quant" field.
+                'int8_static' = w8a8 with calibrated activation scales
+                (the warmup run calibrates; no per-conv abs-max HBM
+                passes in the timed run). 'bf16'/'none' = the
+                trained-precision path. The JSON line records which path
+                ran in its "quant" field.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -119,6 +122,15 @@ def main() -> None:
     out = run(jax.random.PRNGKey(1))
     warm = time.time() - t0
     assert np.isfinite(np.asarray(out)).all(), "non-finite benchmark output"
+
+    if quant == "int8_static":
+        # the first int8_static call ran the calibration (dynamic-scale)
+        # scan; one more warmup compiles + caches the static-scale scan so
+        # the timed run measures steady-state static-quant execution
+        t0 = time.time()
+        out = run(jax.random.PRNGKey(1))
+        warm += time.time() - t0
+        assert np.isfinite(np.asarray(out)).all(), "non-finite static-quant output"
 
     t0 = time.time()
     out = run(jax.random.PRNGKey(2))

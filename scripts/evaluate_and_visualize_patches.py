@@ -45,9 +45,11 @@ def main(argv=None):
     ap.add_argument("--output", default="patch_eval")
     ap.add_argument("--viz-dir", default=None)
     ap.add_argument(
-        "--quant", default=None, choices=["int8"],
+        "--quant", default=None, choices=["int8", "int8_static"],
         help="run the sampling scan on the w8a8 UNet (ddim/edm only; "
-        "measures int8 quality vs the full-precision path)",
+        "measures int8 quality vs the full-precision path). int8_static "
+        "calibrates per-site activation scales on the first ddim sample "
+        "and reuses them (no per-conv abs-max passes)",
     )
     ap.add_argument(
         "--params", default="auto", choices=["auto", "ema", "raw"],

@@ -30,6 +30,7 @@ import numpy as np
 
 from video_to_video_diffusion_tpu.inference.sampler import (
     ddim_sample,
+    ddim_sample_with_aux,
     ddpm_sample,
     edm_sample,
     gaussian_weight_3d,
@@ -38,41 +39,63 @@ from video_to_video_diffusion_tpu.inference.sampler import (
 )
 
 _SAMPLERS = ("ddim", "ddpm", "edm")
-_QUANT_MODES = (None, "int8")
+_QUANT_MODES = (None, "int8", "int8_static")
+
+
+def _is_concrete(tree) -> bool:
+    return not any(
+        isinstance(leaf, jax.core.Tracer)
+        for leaf in jax.tree_util.tree_leaves(tree)
+    )
+
+
+def _quantized_tree(model, params):
+    """The params dict with the UNet subtree int8-quantized, memoized.
+
+    Quantization runs ONCE per (model, params tree) — an N-sample eval loop
+    (or a timed bench run) pays the whole-tree abs-max/round/scale pass and
+    its HBM copy a single time, not per generate call. The cache entry holds
+    a strong reference to the source tree so its id() cannot be recycled
+    while the memo is live."""
+    ck = ("quantized_tree", id(model), id(params))
+    if ck in _STAGE_CACHE:
+        return _STAGE_CACHE[ck][1]
+    quantizer = _cached(
+        "quantize", (id(model),), lambda: jax.jit(model.quantize_unet_params)
+    )
+    qp = dict(params)
+    qp.update(quantizer(params))
+    if _is_concrete(qp):
+        _STAGE_CACHE[ck] = (params, qp)
+    # else: inside an outer trace (e.g. the sharded stitcher's chunk
+    # runner) even a concrete-arg inner jit is staged out, so the
+    # quantized leaves are tracers — memoizing them would leak out of
+    # the trace. Recomputing per trace is fine: quantization stays
+    # outside the sampling scan, which still carries int8 weights.
+    return qp
 
 
 def _sample_params_and_apply(model, params, quant):
     """Resolve the (params, unet-apply) pair for a sampling stage.
 
     quant=None keeps the trained tree + compute-dtype UNet; quant='int8'
-    quantizes the UNet kernels ONCE per (model, params tree) — the
-    quantized tree is memoized so an N-sample eval loop (or a timed bench
-    run) pays the whole-tree abs-max/round/scale pass and its HBM copy a
-    single time, not per generate call. The cache entry holds a strong
-    reference to the source tree so its id() cannot be recycled while the
-    memo is live."""
+    runs the w8a8 UNet with per-call dynamic activation scales;
+    quant='int8_static' additionally reads calibrated per-site activation
+    abs-max values from the memoized 'act_scales' collection — if none are
+    calibrated yet the returned params LACK the 'act_scales' key and the
+    sample stage runs a calibration trajectory instead (_sample_stage)."""
     if quant is None:
         return params, model.apply_unet
     if quant == "int8":
-        ck = ("quantized_tree", id(model), id(params))
-        if ck in _STAGE_CACHE:
-            return _STAGE_CACHE[ck][1], model.apply_unet_q
-        quantizer = _cached(
-            "quantize", (id(model),), lambda: jax.jit(model.quantize_unet_params)
-        )
-        qp = dict(params)
-        qp.update(quantizer(params))
-        if not any(
-            isinstance(leaf, jax.core.Tracer)
-            for leaf in jax.tree_util.tree_leaves(qp)
-        ):
-            _STAGE_CACHE[ck] = (params, qp)
-        # else: inside an outer trace (e.g. the sharded stitcher's chunk
-        # runner) even a concrete-arg inner jit is staged out, so the
-        # quantized leaves are tracers — memoizing them would leak out of
-        # the trace. Recomputing per trace is fine: quantization stays
-        # outside the sampling scan, which still carries int8 weights.
-        return qp, model.apply_unet_q
+        return _quantized_tree(model, params), model.apply_unet_q
+    if quant == "int8_static":
+        qp = _quantized_tree(model, params)
+        sk = ("act_scales", id(model), id(params))
+        if sk in _STAGE_CACHE:
+            qp = dict(qp)
+            qp["act_scales"] = _STAGE_CACHE[sk][1]
+            return qp, model.apply_unet_q_static
+        return qp, None  # needs calibration
     raise ValueError(f"Unknown quant mode {quant!r}; expected one of {_QUANT_MODES}")
 
 
@@ -87,6 +110,74 @@ def _route_sampler(sampler: str, eps, schedule, key, shape, steps, eta):
     if sampler == "ddpm":
         return ddpm_sample(eps, schedule, key, shape)
     raise ValueError(f"Unknown sampler {sampler!r}; expected one of {_SAMPLERS}")
+
+
+def _calibration_sample(model, src_params, sample_params, z_in, key, steps, eta):
+    """One DDIM trajectory on the dynamic-int8 path that records per-site
+    activation abs-max values ('act_scales') as it goes.
+
+    The observing pass computes exactly what the dynamic path computes
+    (layers.observe_or_read_amax falls back to dynamic quantization while
+    mutable), so the returned z0 is a valid sample — the calibration call
+    costs nothing extra beyond the scale bookkeeping. The calibrated
+    collection is memoized per (model, params) so every later
+    quant='int8_static' call skips the per-conv abs-max HBM reductions."""
+    scales0 = _cached("act_scales_zeros", (id(model),), model.init_unet_act_scales)
+
+    def _calib(p, s, z_c, k):
+        def eps_aux(aux, z, t):
+            return model.observe_unet_act_scales(p, aux, z, t, z_c)
+
+        return ddim_sample_with_aux(
+            eps_aux, model.schedule, k, z_c.shape, steps, s, eta
+        )
+
+    calib = _cached(
+        "calib", (id(model), steps, eta) + tuple(z_in.shape),
+        lambda: jax.jit(_calib),
+    )
+    z0, scales = calib(sample_params, scales0, z_in, key)
+    if _is_concrete(scales):
+        _STAGE_CACHE[("act_scales", id(model), id(src_params))] = (src_params, scales)
+    # else: traced (e.g. inside the sharded stitcher's chunk jit) — the run
+    # is still a correct dynamic-int8 sample; calibrate eagerly first to get
+    # the static fast path there.
+    return z0
+
+
+def _sample_stage(model, params, z_in, key, sampler, num_inference_steps, eta, quant):
+    """The sampling stage shared by staged_generate and generate_volume:
+    (conditioning latents, key) -> clamped z0, one cached jitted scan per
+    (model, sampler, steps, eta, quant, latent shape)."""
+    sample_params, apply_unet = _sample_params_and_apply(model, params, quant)
+    if quant == "int8_static" and apply_unet is None:
+        if sampler != "ddim":
+            raise ValueError(
+                "quant='int8_static' needs calibrated activation scales; the "
+                "calibration pass is implemented on the 'ddim' sampler. Run "
+                "one ddim generate with quant='int8_static' first (it "
+                "calibrates and memoizes the scales), or use quant='int8'."
+            )
+        z0 = _calibration_sample(
+            model, params, sample_params, z_in, key, num_inference_steps, eta
+        )
+        return jnp.clip(jnp.nan_to_num(z0, posinf=1.0, neginf=-1.0), -10.0, 10.0)
+
+    def _sample(p, z_c, k):
+        def eps(z, t):
+            return apply_unet(p, z, t, z_c).astype(jnp.float32)
+
+        return _route_sampler(
+            sampler, eps, model.schedule, k, z_c.shape, num_inference_steps, eta
+        )
+
+    sample = _cached(
+        sampler,
+        (id(model), num_inference_steps, eta, quant) + tuple(z_in.shape),
+        lambda: jax.jit(_sample),
+    )
+    z0 = sample(sample_params, z_in, key)
+    return jnp.clip(jnp.nan_to_num(z0, posinf=1.0, neginf=-1.0), -10.0, 10.0)
 from video_to_video_diffusion_tpu.ops.resize import resize_trilinear
 
 _STAGE_CACHE = {}
@@ -160,22 +251,9 @@ def staged_generate(
     if target_depth is not None and target_depth != z_in.shape[1]:
         z_in = resize_trilinear(z_in, (target_depth, z_in.shape[2], z_in.shape[3]))
 
-    sample_params, apply_unet = _sample_params_and_apply(model, params, quant)
-
-    def _sample(p, z_c, k):
-        def eps(z, t):
-            return apply_unet(p, z, t, z_c).astype(jnp.float32)
-
-        return _route_sampler(
-            sampler, eps, model.schedule, k, z_c.shape, num_inference_steps, eta
-        )
-
-    sample = _cached(
-        sampler, (id(model), num_inference_steps, eta, quant) + tuple(z_in.shape),
-        lambda: jax.jit(_sample),
+    z0 = _sample_stage(
+        model, params, z_in, key, sampler, num_inference_steps, eta, quant
     )
-    z0 = sample(sample_params, z_in, key)
-    z0 = jnp.clip(jnp.nan_to_num(z0, posinf=1.0, neginf=-1.0), -10.0, 10.0)
 
     dec = _cached(
         "decode", (id(model), z0.shape[0]) + tuple(z0.shape[1:]),
@@ -204,8 +282,11 @@ def generate_volume(
     Args:
       v_thick_full: (1, D_thick, H, W, C) in [-1, 1].
       vae_batch: encode/decode chunk size (HBM bound at full resolution).
-      quant: None (trained precision) or 'int8' — run the DDIM/EDM scan on
-        the w8a8 UNet (kernels quantized once per call; ops/quant.py).
+      quant: None (trained precision), 'int8' (w8a8 UNet scan, dynamic
+        per-call activation scales; ops/quant.py), or 'int8_static' (w8a8
+        with calibrated per-site activation scales — the first ddim call
+        runs a scale-observing dynamic trajectory and memoizes the scales;
+        later calls skip the per-conv abs-max HBM reduction passes).
 
     Returns (1, D_thick * ratio, H, W, C) f32.
     """
@@ -246,23 +327,9 @@ def generate_volume(
         z_in = resize_trilinear(z_in, (z_in.shape[1] * ratio, z_in.shape[2], z_in.shape[3]))
 
     # ---- batched DDIM (or EDM Heun) scan over the whole grid ----
-    sample_params, apply_unet = _sample_params_and_apply(model, params, quant)
-
-    def _sample(p, z_c, k):
-        def eps(z, t):
-            return apply_unet(p, z, t, z_c).astype(jnp.float32)
-
-        return _route_sampler(
-            sampler, eps, model.schedule, k, z_c.shape, num_inference_steps, eta
-        )
-
-    sample = _cached(
-        sampler,
-        (id(model), num_inference_steps, eta, quant, Np) + tuple(z_in.shape[1:]),
-        lambda: jax.jit(_sample),
+    z0 = _sample_stage(
+        model, params, z_in, key, sampler, num_inference_steps, eta, quant
     )
-    z0 = sample(sample_params, z_in, key)
-    z0 = jnp.clip(jnp.nan_to_num(z0, posinf=1.0, neginf=-1.0), -10.0, 10.0)
 
     # ---- decode (chunked) ----
     dec = _cached(

@@ -70,27 +70,93 @@ def ddim_sample(
         eps = jnp.nan_to_num(
             eps_fn(z, t).astype(jnp.float32), posinf=1.0, neginf=-1.0
         )
-        sqrt_a = jnp.sqrt(alpha_t + 1e-8)
-        sqrt_1ma = jnp.sqrt(1.0 - alpha_t + 1e-8)
-        z0 = (z - sqrt_1ma * eps) / (sqrt_a + 1e-8)
-        z0 = jnp.clip(jnp.nan_to_num(z0, posinf=1.0, neginf=-1.0), -10.0, 10.0)
-        sqrt_ap = jnp.sqrt(alpha_prev + 1e-8)
-        dir_zt = jnp.sqrt(1.0 - alpha_prev + 1e-8) * eps
-        if eta > 0:
-            sigma = eta * jnp.sqrt(
-                (1.0 - alpha_prev + 1e-8)
-                / (1.0 - alpha_t + 1e-8)
-                * (1.0 - alpha_t / (alpha_prev + 1e-8))
-            )
-            noise = jax.random.normal(k, z.shape, jnp.float32)
-            z_next = sqrt_ap * z0 + dir_zt + sigma * noise
-        else:
-            z_next = sqrt_ap * z0 + dir_zt
-        return jnp.nan_to_num(z_next, posinf=1.0, neginf=-1.0), None
+        return ddim_update(z, eps, alpha_t, alpha_prev, k, eta), None
 
     keys = jax.random.split(k_loop, len(ts))
     z_final, _ = jax.lax.scan(step, z_init, (t_arr, a_arr, ap_arr, keys))
     return z_final
+
+
+def ddim_update(
+    z: jnp.ndarray,
+    eps: jnp.ndarray,
+    alpha_t: jnp.ndarray,
+    alpha_prev: jnp.ndarray,
+    key: jax.Array,
+    eta: float = 0.0,
+) -> jnp.ndarray:
+    """One DDIM z_t -> z_{t-1} update given a predicted eps (pure math).
+
+    Shared by the sampling scan above and the aux-carrying variant below
+    (static-quant calibration), so both follow the identical trajectory
+    (reference sampler.py:284-320 update equations, incl. eps-stabilized
+    roots and the z0 clamp)."""
+    sqrt_a = jnp.sqrt(alpha_t + 1e-8)
+    sqrt_1ma = jnp.sqrt(1.0 - alpha_t + 1e-8)
+    z0 = (z - sqrt_1ma * eps) / (sqrt_a + 1e-8)
+    z0 = jnp.clip(jnp.nan_to_num(z0, posinf=1.0, neginf=-1.0), -10.0, 10.0)
+    sqrt_ap = jnp.sqrt(alpha_prev + 1e-8)
+    dir_zt = jnp.sqrt(1.0 - alpha_prev + 1e-8) * eps
+    if eta > 0:
+        sigma = eta * jnp.sqrt(
+            (1.0 - alpha_prev + 1e-8)
+            / (1.0 - alpha_t + 1e-8)
+            * (1.0 - alpha_t / (alpha_prev + 1e-8))
+        )
+        noise = jax.random.normal(key, z.shape, jnp.float32)
+        z_next = sqrt_ap * z0 + dir_zt + sigma * noise
+    else:
+        z_next = sqrt_ap * z0 + dir_zt
+    return jnp.nan_to_num(z_next, posinf=1.0, neginf=-1.0)
+
+
+def ddim_sample_with_aux(
+    eps_aux_fn: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],
+    schedule: DiffusionSchedule,
+    key: jax.Array,
+    shape: Sequence[int],
+    num_inference_steps: int = 20,
+    aux_init=None,
+    eta: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """DDIM scan threading an auxiliary carry through the eps function.
+
+    `eps_aux_fn(aux, z, t) -> (eps, aux)` — used for static-quant
+    calibration, where aux is the 'act_scales' collection each UNet quant
+    site folds its abs-max into (models/model.observe_unet_act_scales). The
+    trajectory is bit-identical to ddim_sample with the same key when
+    eps_aux_fn's eps matches eps_fn (the observing pass computes outputs on
+    the dynamic-quant path), so a calibration run doubles as a valid sample.
+
+    Returns (z_final, aux_final).
+    """
+    ts = ddim_timesteps(schedule.timesteps, num_inference_steps)
+    alphas = np.asarray(schedule.alphas_cumprod)[ts]
+    alphas_prev = np.append(alphas[1:], 1.0)
+
+    t_arr = jnp.asarray(ts, jnp.int32)
+    a_arr = jnp.asarray(alphas, jnp.float32)
+    ap_arr = jnp.asarray(alphas_prev, jnp.float32)
+
+    k_init, k_loop = jax.random.split(key)
+    z_init = jax.random.normal(k_init, tuple(shape), jnp.float32)
+    B = shape[0]
+
+    def step(carry, inp):
+        z, aux = carry
+        t_idx, alpha_t, alpha_prev, k = inp
+        t = jnp.full((B,), t_idx, jnp.int32)
+        eps_raw, aux = eps_aux_fn(aux, z, t)
+        eps = jnp.nan_to_num(
+            eps_raw.astype(jnp.float32), posinf=1.0, neginf=-1.0
+        )
+        return (ddim_update(z, eps, alpha_t, alpha_prev, k, eta), aux), None
+
+    keys = jax.random.split(k_loop, len(ts))
+    (z_final, aux_final), _ = jax.lax.scan(
+        step, (z_init, aux_init), (t_arr, a_arr, ap_arr, keys)
+    )
+    return z_final, aux_final
 
 
 # ---------------------------------------------------------------------- EDM

@@ -32,6 +32,27 @@ def _bias_init_for_fan_in(fan_in: int):
     return init
 
 
+def observe_or_read_amax(mod: nn.Module, x: jnp.ndarray, name: str = "amax"):
+    """Static-activation-scale bookkeeping for w8a8 quant sites.
+
+    Each quant site owns an ``act_scales`` variable holding the calibrated
+    per-tensor activation abs-max. Two modes, keyed off collection
+    mutability:
+
+    - calibration (``mutable=['act_scales']`` on apply): record
+      ``max(old, abs(x).max())`` and return None — the caller falls back to
+      dynamic quantization for this call, so calibration outputs equal the
+      dynamic path's while observing true trajectory activations.
+    - inference (collection passed read-only): return the calibrated abs-max
+      for quantize_activation_static.
+    """
+    v = mod.variable("act_scales", name, lambda: jnp.zeros((), jnp.float32))
+    if mod.is_mutable_collection("act_scales"):
+        v.value = jnp.maximum(v.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+        return None
+    return v.value
+
+
 class Conv3D(nn.Module):
     """3D conv, torch Conv3d shape semantics, NDHWC.
 
@@ -49,6 +70,7 @@ class Conv3D(nn.Module):
     use_bias: bool = True
     dtype: Dtype = jnp.float32
     quant: bool = False
+    quant_static: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -70,9 +92,11 @@ class Conv3D(nn.Module):
             kernel_scale = self.param(
                 "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
             )
+            x_amax = observe_or_read_amax(self, x) if self.quant_static else None
             return int8_conv3d(
                 x, kernel_q, kernel_scale, bias,
                 stride=self.stride, padding=self.padding, out_dtype=self.dtype,
+                x_amax=x_amax,
             )
         kernel = self.param("kernel", _KERNEL_INIT, kshape, jnp.float32)
         y = conv3d(
@@ -96,6 +120,7 @@ class ConvTranspose3D(nn.Module):
     use_bias: bool = True
     dtype: Dtype = jnp.float32
     quant: bool = False
+    quant_static: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -121,10 +146,12 @@ class ConvTranspose3D(nn.Module):
             kernel_scale = self.param(
                 "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
             )
+            x_amax = observe_or_read_amax(self, x) if self.quant_static else None
             return int8_conv3d_transpose(
                 x, kernel_q, kernel_scale, bias,
                 stride=self.stride, padding=self.padding,
                 output_padding=self.output_padding, out_dtype=self.dtype,
+                x_amax=x_amax,
             )
         kernel = self.param("kernel", _KERNEL_INIT, kshape, jnp.float32)
         return conv3d_transpose(
@@ -169,6 +196,7 @@ class Conv3DBlock(nn.Module):
     adaptive_groups: bool = False
     dtype: Dtype = jnp.float32
     quant: bool = False
+    quant_static: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -184,6 +212,7 @@ class Conv3DBlock(nn.Module):
             self.padding,
             dtype=self.dtype,
             quant=self.quant,
+            quant_static=self.quant_static,
             name="conv",
         )(x)
         x = GroupNorm(num_groups=groups, activation="silu", name="norm")(x)

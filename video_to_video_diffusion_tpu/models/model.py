@@ -83,6 +83,12 @@ class VideoToVideoDiffusion:
         # quant='int8'): same architecture, heavy convs on the MXU's 2x int8
         # path (ops/quant.py). Params for it come from quantize_unet_params.
         self.unet_int8 = dataclasses.replace(self.unet, quant_int8=True)
+        # static-activation-scale variant (quant='int8_static'): same int8
+        # param tree, plus an 'act_scales' variable collection of calibrated
+        # per-site abs-max values (ops/quant.quantize_activation_static).
+        self.unet_int8_static = dataclasses.replace(
+            self.unet, quant_int8=True, quant_static=True
+        )
         self.schedule: DiffusionSchedule = make_schedule(
             m.noise_schedule, m.diffusion_timesteps, m.beta_start, m.beta_end
         )
@@ -176,6 +182,41 @@ class VideoToVideoDiffusion:
     def apply_unet_q(self, qparams, z_t, t, c):
         """UNet forward on int8-quantized params (from quantize_unet_params)."""
         return self.unet_int8.apply({"params": qparams["unet"]}, z_t, t, c)
+
+    def init_unet_act_scales(self):
+        """Zeroed 'act_scales' collection for the static-quant UNet.
+
+        One f32 scalar per quant site; fill it with observe_unet_act_scales
+        before using apply_unet_q_static (a zero scale would collapse every
+        activation to 0 via the eps floor)."""
+        from video_to_video_diffusion_tpu.models.quantize import unet_act_scales_zeros
+
+        latent_shape = (1, 8, 16, 16, self.latent_dim)
+        return unet_act_scales_zeros(self.unet_int8_static, latent_shape)
+
+    def observe_unet_act_scales(self, qparams, act_scales, z_t, t, c):
+        """One calibration forward: dynamic-quant output + updated abs-max.
+
+        Runs the static UNet with mutable 'act_scales' — each quant site
+        records max(old, abs(input).max()) and falls back to dynamic
+        quantization for this call, so calibration outputs follow the same
+        trajectory the dynamic int8 path would. Returns (eps, act_scales)."""
+        eps, upd = self.unet_int8_static.apply(
+            {"params": qparams["unet"], "act_scales": act_scales},
+            z_t, t, c, mutable=["act_scales"],
+        )
+        return eps, upd["act_scales"]
+
+    def apply_unet_q_static(self, qparams, z_t, t, c):
+        """UNet forward on int8 params with calibrated static act scales.
+
+        qparams: {'unet': int8 tree, 'act_scales': calibrated collection}
+        (both passed as arguments so compiled sampling programs are reused
+        across checkpoints)."""
+        return self.unet_int8_static.apply(
+            {"params": qparams["unet"], "act_scales": qparams["act_scales"]},
+            z_t, t, c,
+        )
 
     # ------------------------------------------------------------- training
     def loss_fn(

@@ -57,3 +57,18 @@ def unet_int8_structure(unet_int8, latent_shape, dtype=jnp.float32):
         lambda: unet_int8.init(jax.random.PRNGKey(0), z, t, z)["params"]
     )
     return shapes
+
+
+def unet_act_scales_zeros(unet_static, latent_shape, dtype=jnp.float32):
+    """Concrete zeroed 'act_scales' collection for the static-quant UNet.
+
+    Structure comes from eval_shape of the module's own init (like
+    unet_int8_structure), so it tracks the set of quant sites automatically.
+    Fill by running calibration forwards with mutable=['act_scales'].
+    """
+    z = jnp.zeros(latent_shape, dtype)
+    t = jnp.zeros((latent_shape[0],), jnp.int32)
+    shapes = jax.eval_shape(
+        lambda: unet_static.init(jax.random.PRNGKey(0), z, t, z)["act_scales"]
+    )
+    return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)

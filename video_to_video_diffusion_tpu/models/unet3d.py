@@ -62,6 +62,7 @@ class ResBlockT(nn.Module):
     features: int
     dtype: Dtype = jnp.float32
     quant: bool = False
+    quant_static: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
@@ -72,13 +73,14 @@ class ResBlockT(nn.Module):
             residual = x
         h = Conv3DBlock(
             self.features, adaptive_groups=True, dtype=self.dtype,
-            quant=self.quant, name="conv1"
+            quant=self.quant, quant_static=self.quant_static, name="conv1"
         )(x)
         # time injection: SiLU -> Dense -> broadcast add (unet3d.py:122-125)
         t = temb * jax.nn.sigmoid(temb)
         t = nn.Dense(self.features, dtype=self.dtype, name="time_mlp")(t)
         h = h + t[:, None, None, None, :]
-        h = Conv3D(self.features, 3, 1, 1, dtype=self.dtype, quant=self.quant, name="conv2")(h)
+        h = Conv3D(self.features, 3, 1, 1, dtype=self.dtype, quant=self.quant,
+                   quant_static=self.quant_static, name="conv2")(h)
         h = GroupNorm(num_groups=adaptive_num_groups(self.features), name="norm2")(h)
         h = h + residual
         return (h * jax.nn.sigmoid(h)).astype(h.dtype)
@@ -147,6 +149,9 @@ class TemporalAttention(nn.Module):
     # compute dtype with an f32 softmax. Parameter tree gains the same
     # kernel_q/kernel_scale leaves the quantized convs use.
     quant: bool = False
+    # static (calibrated) activation scales: two act_scales variables, one
+    # per projection input (see layers.observe_or_read_amax).
+    quant_static: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -162,15 +167,23 @@ class TemporalAttention(nn.Module):
         xs = h.reshape(B, D, H * W, C).astype(dt)
         b3 = bqkv.astype(jnp.float32).reshape(3, hd, e)[:, None, :, None, None, :]
         if self.quant:
+            from video_to_video_diffusion_tpu.models.layers import observe_or_read_amax
             from video_to_video_diffusion_tpu.ops.quant import (
                 int8_einsum,
                 quantize_activation_dynamic,
+                quantize_activation_static,
             )
 
             wqkv_q, sqkv = wqkv
             w3q = wqkv_q[0, 0, 0].reshape(C, 3, hd, e)
             s3 = sqkv.reshape(3, hd, e)[:, None, :, None, None, :]
-            xq, sx = quantize_activation_dynamic(xs)
+            amax_qkv = (
+                observe_or_read_amax(self, xs, "amax_qkv") if self.quant_static else None
+            )
+            if amax_qkv is None:
+                xq, sx = quantize_activation_dynamic(xs)
+            else:
+                xq, sx = quantize_activation_static(xs, amax_qkv)
             qkv = [
                 (int8_einsum("bdsc,che->bhsde", xq, sx * s3[i], w3q[:, i], 1.0)
                  + b3[i]).astype(dt)
@@ -197,7 +210,13 @@ class TemporalAttention(nn.Module):
         if self.quant:
             wo_q, so = wo
             wo3q = wo_q[0, 0, 0].reshape(hd, e, C)
-            oq, sout = quantize_activation_dynamic(out)
+            amax_out = (
+                observe_or_read_amax(self, out, "amax_out") if self.quant_static else None
+            )
+            if amax_out is None:
+                oq, sout = quantize_activation_dynamic(out)
+            else:
+                oq, sout = quantize_activation_static(out, amax_out)
             y = (int8_einsum("bhsde,hec->bdsc", oq, sout, wo3q, so)
                  + bo.astype(jnp.float32)).astype(dt)
         else:
@@ -212,12 +231,13 @@ class Downsample3D(nn.Module):
     features: int
     dtype: Dtype = jnp.float32
     quant: bool = False
+    quant_static: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         return Conv3D(
             self.features, (3, 4, 4), (1, 2, 2), (1, 1, 1), dtype=self.dtype,
-            quant=self.quant, name="conv"
+            quant=self.quant, quant_static=self.quant_static, name="conv"
         )(x)
 
 
@@ -227,12 +247,13 @@ class Upsample3D(nn.Module):
     features: int
     dtype: Dtype = jnp.float32
     quant: bool = False
+    quant_static: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         return ConvTranspose3D(
             self.features, (3, 4, 4), (1, 2, 2), (1, 1, 1), dtype=self.dtype,
-            quant=self.quant, name="conv"
+            quant=self.quant, quant_static=self.quant_static, name="conv"
         )(x)
 
 
@@ -254,10 +275,16 @@ class UNet3D(nn.Module):
     use_checkpoint: bool = False
     dtype: Dtype = jnp.float32
     # w8a8 int8 inference variant: quantizes the heavy res-block and
-    # down/upsample convs; conv_in/conv_out, attention, and the time path
-    # stay at the compute dtype. Parameter tree changes (kernel ->
-    # kernel_q + kernel_scale) — produce it with quantize.quantize_unet_params.
+    # down/upsample convs plus the attention qkv/out projections;
+    # conv_in/conv_out and the time path stay at the compute dtype.
+    # Parameter tree changes (kernel -> kernel_q + kernel_scale) — produce
+    # it with quantize.quantize_unet_params.
     quant_int8: bool = False
+    # static (calibrated) activation scales: every quant site reads its
+    # per-tensor abs-max from the 'act_scales' variable collection instead
+    # of reducing it per call; calibrate by applying with
+    # mutable=['act_scales'] (layers.observe_or_read_amax).
+    quant_static: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
@@ -265,10 +292,12 @@ class UNet3D(nn.Module):
         Res = partial(
             nn.remat(ResBlockT) if self.use_checkpoint else ResBlockT,
             quant=self.quant_int8,
+            quant_static=self.quant_static,
         )
         Attn = partial(
             nn.remat(TemporalAttention) if self.use_checkpoint else TemporalAttention,
             quant=self.quant_int8,
+            quant_static=self.quant_static,
         )
 
         temb = TimeEmbedding(
@@ -290,6 +319,7 @@ class UNet3D(nn.Module):
             if level < num_levels - 1:
                 h = Downsample3D(
                     out_ch, dtype=self.dtype, quant=self.quant_int8,
+                    quant_static=self.quant_static,
                     name=f"down{level}_ds",
                 )(h)
 
@@ -312,6 +342,7 @@ class UNet3D(nn.Module):
             if level < num_levels - 1:
                 h = Upsample3D(
                     out_ch, dtype=self.dtype, quant=self.quant_int8,
+                    quant_static=self.quant_static,
                     name=f"up{level}_us",
                 )(h)
 

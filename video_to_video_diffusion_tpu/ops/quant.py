@@ -57,6 +57,24 @@ def quantize_activation_dynamic(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarra
     return xq, sx
 
 
+def quantize_activation_static(
+    x: jnp.ndarray, amax: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-tensor static symmetric int8 quantization with a calibrated abs-max.
+
+    Unlike the dynamic variant there is no reduction over `x`: the
+    round/clip is pure elementwise work XLA fuses into the producing op,
+    which removes the extra HBM read the dynamic abs-max pass costs per
+    quantized conv. Values beyond the calibrated `amax` saturate at +-127
+    (standard symmetric-quant clipping).
+
+    Returns (x_q int8, s_x f32 scalar).
+    """
+    sx = jnp.maximum(amax.astype(jnp.float32), _EPS) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
 def int8_conv3d(
     x: jnp.ndarray,
     kernel_q: jnp.ndarray,
@@ -65,9 +83,18 @@ def int8_conv3d(
     stride: IntOr3 = 1,
     padding: IntOr3 = 0,
     out_dtype=jnp.bfloat16,
+    x_amax: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """w8a8 conv3d: dynamic act quant -> int8 MXU conv -> int32 -> rescale."""
-    xq, sx = quantize_activation_dynamic(x)
+    """w8a8 conv3d: act quant -> int8 MXU conv -> int32 -> rescale.
+
+    Activation quantization is dynamic (per-call abs-max reduction) unless a
+    calibrated `x_amax` is given, in which case the scale is static and the
+    quantize step fuses into the producer (quantize_activation_static).
+    """
+    if x_amax is None:
+        xq, sx = quantize_activation_dynamic(x)
+    else:
+        xq, sx = quantize_activation_static(x, x_amax)
     y = conv3d(xq, kernel_q, None, stride=stride, padding=padding,
                preferred_dtype=jnp.int32)
     out = y.astype(jnp.float32) * (sx * kernel_scale.astype(jnp.float32))
@@ -103,9 +130,13 @@ def int8_conv3d_transpose(
     padding: IntOr3 = 0,
     output_padding: IntOr3 = 0,
     out_dtype=jnp.bfloat16,
+    x_amax: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """w8a8 transposed conv3d (same scheme as int8_conv3d)."""
-    xq, sx = quantize_activation_dynamic(x)
+    if x_amax is None:
+        xq, sx = quantize_activation_dynamic(x)
+    else:
+        xq, sx = quantize_activation_static(x, x_amax)
     y = conv3d_transpose(xq, kernel_q, None, stride=stride, padding=padding,
                          output_padding=output_padding,
                          preferred_dtype=jnp.int32)
