@@ -29,6 +29,9 @@ Env knobs:
                 passes in the timed run). 'bf16'/'none' = the
                 trained-precision path. The JSON line records which path
                 ran in its "quant" field.
+  BENCH_QUANT_VAE  decode-stage precision: 'int8' runs the final VAE
+                decode on the w8a8 decoder (models/vae.py quant_int8);
+                default off (trained precision).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -56,6 +59,9 @@ def main() -> None:
     quant = os.environ.get("BENCH_QUANT", "int8").lower()
     if quant in ("", "none", "bf16", "fp", "off"):
         quant = None
+    quant_vae = os.environ.get("BENCH_QUANT_VAE", "").lower()
+    if quant_vae in ("", "none", "bf16", "fp", "off"):
+        quant_vae = None
     from video_to_video_diffusion_tpu.utils.platform import (
         configure_platform,
         enable_compilation_cache,
@@ -111,6 +117,7 @@ def main() -> None:
             stride=(max(pd_thick // 2, 1), stride_hw, stride_hw),
             vae_batch=vae_batch,
             quant=quant,
+            quant_vae=quant_vae,
         )
         # force full materialization on the host (block_until_ready does not
         # reliably sync through relay-backed TPU backends)
@@ -184,6 +191,8 @@ def main() -> None:
         result["mfu"] = round(mfu, 4)
     if quant:
         result["quant"] = quant
+    if quant_vae:
+        result["quant_vae"] = quant_vae
     print(json.dumps(result))
     print(
         f"# shape={tuple(out.shape)} steps={steps} vae_batch={vae_batch} "

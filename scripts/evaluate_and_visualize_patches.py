@@ -52,6 +52,11 @@ def main(argv=None):
         "and reuses them (no per-conv abs-max passes)",
     )
     ap.add_argument(
+        "--quant-vae", default=None, choices=["int8"],
+        help="decode on the w8a8 decoder (measures decoder-int8 quality "
+        "vs the full-precision decode)",
+    )
+    ap.add_argument(
         "--params", default="auto", choices=["auto", "ema", "raw"],
         help="which weights to score: auto = EMA when present (what "
         "best-checkpoint selection scored), raw = live params (use for "
@@ -82,10 +87,11 @@ def main(argv=None):
             return staged_generate(
                 model, params, v, k, args.steps, target_depth=td,
                 sampler=args.sampler, quant=args.quant,
+                quant_vae=args.quant_vae,
             )
     else:
-        if args.quant:
-            raise SystemExit("--quant requires --sampler ddim or edm")
+        if args.quant or args.quant_vae:
+            raise SystemExit("--quant/--quant-vae require --sampler ddim or edm")
         _g = jax.jit(
             lambda v, k, td: model.generate(params, v, k, args.sampler, args.steps, target_depth=td),
             static_argnums=(2,),
@@ -117,6 +123,7 @@ def main(argv=None):
     summary = {
         "sampler": args.sampler,
         "quant": args.quant,
+        "quant_vae": args.quant_vae,
         "params": "ema" if use_ema else "raw",
         "steps": args.steps,
         "num_samples": len(rows),

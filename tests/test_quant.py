@@ -283,3 +283,76 @@ def test_int8_tree_memoized_per_params(tiny):
     assert apply1 == apply2 == model.apply_unet_q
     fp, applyf = _sample_params_and_apply(model, params, None)
     assert fp is params and applyf == model.apply_unet
+
+
+def test_quantize_vae_decoder_params_structure(tiny):
+    """Decoder tree: kernel -> kernel_q/kernel_scale on res/upsample convs;
+    the encoder subtree and the decoder's shape-critical ends
+    (post_quant_conv, conv_out) stay bitwise-identical."""
+    from flax.traverse_util import flatten_dict
+
+    model, params = tiny
+    qparams = jax.jit(model.quantize_vae_decoder_params)(params)
+    src = flatten_dict(params["vae"])
+    dst = flatten_dict(qparams["vae"])
+    n_q = sum(1 for p in dst if p[-1] == "kernel_q")
+    assert n_q > 0
+    assert not any("encoder" in p and p[-1] == "kernel_q" for p in dst)
+    for end in ("post_quant_conv", "conv_out"):
+        assert ("decoder", end, "kernel") in dst
+    for path, leaf in dst.items():
+        if path[-1] == "kernel_q":
+            assert leaf.dtype == jnp.int8
+            assert path[:-1] + ("kernel",) in src
+        elif path[-1] == "kernel_scale":
+            assert path[:-1] + ("kernel",) in src
+        else:
+            np.testing.assert_array_equal(np.asarray(leaf), np.asarray(src[path]))
+
+
+def test_decode_q_close_to_fp(tiny):
+    """int8 decode tracks the fp decode closely on a smooth latent (the
+    tanh-bounded output keeps errors in [-1,1] scale)."""
+    model, params = tiny
+    qparams = jax.jit(model.quantize_vae_decoder_params)(params)
+    z = jax.random.normal(jax.random.PRNGKey(21), (2, 4, 8, 8, model.latent_dim))
+    ref = np.asarray(model.decode(params, z), np.float32)
+    out = np.asarray(model.decode_q(qparams, z), np.float32)
+    assert out.shape == ref.shape
+    assert np.isfinite(out).all()
+    assert np.abs(out - ref).mean() < 0.05
+
+
+def test_generate_volume_quant_vae(tiny):
+    """quant_vae='int8' composes with the int8 UNet scan end-to-end and the
+    decoded volume stays close to the fp-decode run with the same key."""
+    from video_to_video_diffusion_tpu.inference.pipeline import generate_volume
+
+    model, params = tiny
+    v = jax.random.normal(jax.random.PRNGKey(8), (1, 4, 64, 64, 1))
+    kw = dict(
+        num_inference_steps=2, patch_size=(4, 32, 32),
+        target_patch_size=(8, 32, 32), stride=(2, 16, 16), vae_batch=4,
+        quant="int8",
+    )
+    ref = generate_volume(model, params, v, jax.random.PRNGKey(9), **kw)
+    out = generate_volume(
+        model, params, v, jax.random.PRNGKey(9), quant_vae="int8", **kw
+    )
+    assert out.shape == ref.shape
+    assert np.isfinite(np.asarray(out)).all()
+    # same latents (same key + same int8 UNet scan); only the decode differs
+    assert np.abs(np.asarray(out - ref)).mean() < 0.05
+
+
+def test_quant_vae_unknown_mode_raises(tiny):
+    from video_to_video_diffusion_tpu.inference.pipeline import (
+        _decode_params_and_apply,
+    )
+
+    model, params = tiny
+    with pytest.raises(ValueError, match="quant_vae"):
+        _decode_params_and_apply(model, params, "int4")
+    qp1, d1 = _decode_params_and_apply(model, params, "int8")
+    qp2, d2 = _decode_params_and_apply(model, params, "int8")
+    assert qp1 is qp2 and d1 == d2 == model.decode_q

@@ -40,6 +40,7 @@ from video_to_video_diffusion_tpu.inference.sampler import (
 
 _SAMPLERS = ("ddim", "ddpm", "edm")
 _QUANT_MODES = (None, "int8", "int8_static")
+_QUANT_VAE_MODES = (None, "int8")
 
 
 def _is_concrete(tree) -> bool:
@@ -73,6 +74,35 @@ def _quantized_tree(model, params):
     # the trace. Recomputing per trace is fine: quantization stays
     # outside the sampling scan, which still carries int8 weights.
     return qp
+
+
+def _decode_params_and_apply(model, params, quant_vae):
+    """Resolve the (params, decode) pair for the decode stage.
+
+    quant_vae=None keeps the trained tree + compute-dtype decoder;
+    quant_vae='int8' quantizes the decoder's res-block/upsample convs ONCE
+    per (model, params tree) — memoized like the UNet tree — and decodes on
+    the w8a8 path (dynamic activation scales; decode runs once per volume,
+    so there is no scan to amortize a calibration pass over)."""
+    if quant_vae is None:
+        return params, model.decode
+    if quant_vae == "int8":
+        ck = ("quantized_vae_tree", id(model), id(params))
+        if ck in _STAGE_CACHE:
+            return _STAGE_CACHE[ck][1], model.decode_q
+        quantizer = _cached(
+            "quantize_vae", (id(model),),
+            lambda: jax.jit(model.quantize_vae_decoder_params),
+        )
+        qp = dict(params)
+        qp.update(quantizer(params))
+        if _is_concrete(qp):
+            _STAGE_CACHE[ck] = (params, qp)
+        # else: staged out inside an outer trace (see _quantized_tree).
+        return qp, model.decode_q
+    raise ValueError(
+        f"Unknown quant_vae mode {quant_vae!r}; expected one of {_QUANT_VAE_MODES}"
+    )
 
 
 def _sample_params_and_apply(model, params, quant):
@@ -233,6 +263,7 @@ def staged_generate(
     eta: float = 0.0,
     sampler: str = "ddim",
     quant: Optional[str] = None,
+    quant_vae: Optional[str] = None,
 ) -> jnp.ndarray:
     """generate() semantics through three independently compiled stages.
 
@@ -240,8 +271,9 @@ def staged_generate(
     clamp) but each stage is its own cached jit — one fused generate program
     takes tens of minutes to compile through a remote compiler, while the
     stages compile in minutes once and are shared with generate_volume.
-    quant='int8' runs the sampling scan on the w8a8 UNet (ops/quant.py);
-    the VAE stages stay at full precision.
+    quant='int8'/'int8_static' runs the sampling scan on the w8a8 UNet
+    (ops/quant.py); quant_vae='int8' additionally decodes on the w8a8
+    decoder (encode always stays at the trained precision).
     """
     enc = _cached(
         "encode", (id(model),) + tuple(v_in.shape[1:]) + (v_in.shape[0],),
@@ -255,11 +287,12 @@ def staged_generate(
         model, params, z_in, key, sampler, num_inference_steps, eta, quant
     )
 
+    dec_params, decode = _decode_params_and_apply(model, params, quant_vae)
     dec = _cached(
-        "decode", (id(model), z0.shape[0]) + tuple(z0.shape[1:]),
-        lambda: jax.jit(lambda p, z: model.decode(p, z).astype(jnp.float32)),
+        "decode", (id(model), quant_vae, z0.shape[0]) + tuple(z0.shape[1:]),
+        lambda: jax.jit(lambda p, z: decode(p, z).astype(jnp.float32)),
     )
-    out = dec(params, z0)
+    out = dec(dec_params, z0)
     return jnp.nan_to_num(out, posinf=1.0, neginf=-1.0)
 
 
@@ -276,6 +309,7 @@ def generate_volume(
     eta: float = 0.0,
     sampler: str = "ddim",
     quant: Optional[str] = None,
+    quant_vae: Optional[str] = None,
 ) -> jnp.ndarray:
     """Full thick->thin volume generation, pipelined.
 
@@ -287,6 +321,9 @@ def generate_volume(
         with calibrated per-site activation scales — the first ddim call
         runs a scale-observing dynamic trajectory and memoizes the scales;
         later calls skip the per-conv abs-max HBM reduction passes).
+      quant_vae: None (trained precision) or 'int8' — decode the final
+        latents on the w8a8 decoder (models/vae.VideoDecoder.quant_int8);
+        the encode stage always stays at the trained precision.
 
     Returns (1, D_thick * ratio, H, W, C) f32.
     """
@@ -332,12 +369,13 @@ def generate_volume(
     )
 
     # ---- decode (chunked) ----
+    dec_params, decode = _decode_params_and_apply(model, params, quant_vae)
     dec = _cached(
-        "decode", (id(model), vae_batch) + tuple(z0.shape[1:]),
-        lambda: jax.jit(lambda p, z: model.decode(p, z).astype(jnp.float32)),
+        "decode", (id(model), quant_vae, vae_batch) + tuple(z0.shape[1:]),
+        lambda: jax.jit(lambda p, z: decode(p, z).astype(jnp.float32)),
     )
     thin_chunks = [
-        dec(params, z0[i : i + vae_batch]) for i in range(0, Np, vae_batch)
+        dec(dec_params, z0[i : i + vae_batch]) for i in range(0, Np, vae_batch)
     ]
     thin = jnp.concatenate(thin_chunks, axis=0)[:N]
     thin = jnp.nan_to_num(thin, posinf=1.0, neginf=-1.0)
@@ -418,7 +456,7 @@ def generate_volume_flops(
     )
 
     dec = _cached(
-        "decode", (id(model), vae_batch) + tuple(z_shape[1:]),
+        "decode", (id(model), None, vae_batch) + tuple(z_shape[1:]),
         lambda: jax.jit(lambda p, z: model.decode(p, z).astype(jnp.float32)),
     )
     dec_flops = _cost_flops(

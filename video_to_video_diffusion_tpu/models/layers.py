@@ -225,14 +225,18 @@ class ResBlock3D(nn.Module):
     features: int
     num_groups: int = 8
     dtype: Dtype = jnp.float32
+    quant: bool = False
+    quant_static: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         residual = x
         h = Conv3DBlock(
-            self.features, num_groups=self.num_groups, dtype=self.dtype, name="conv1"
+            self.features, num_groups=self.num_groups, dtype=self.dtype,
+            quant=self.quant, quant_static=self.quant_static, name="conv1"
         )(x)
-        h = Conv3D(self.features, 3, 1, 1, dtype=self.dtype, name="conv2")(h)
+        h = Conv3D(self.features, 3, 1, 1, dtype=self.dtype, quant=self.quant,
+                   quant_static=self.quant_static, name="conv2")(h)
         h = GroupNorm(num_groups=self.num_groups, name="norm2")(h)
         h = h + residual
         return (h * jax.nn.sigmoid(h)).astype(h.dtype)  # SiLU
@@ -259,11 +263,14 @@ class UpsampleBlock(nn.Module):
     features: int
     num_groups: int = 8
     dtype: Dtype = jnp.float32
+    quant: bool = False
+    quant_static: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = ConvTranspose3D(
-            self.features, (3, 4, 4), (1, 2, 2), (1, 1, 1), dtype=self.dtype, name="conv"
+            self.features, (3, 4, 4), (1, 2, 2), (1, 1, 1), dtype=self.dtype,
+            quant=self.quant, quant_static=self.quant_static, name="conv"
         )(x)
         return GroupNorm(num_groups=self.num_groups, activation="silu", name="norm")(x)
 

@@ -89,6 +89,12 @@ class VideoToVideoDiffusion:
         self.unet_int8_static = dataclasses.replace(
             self.unet, quant_int8=True, quant_static=True
         )
+        # w8a8 decoder variant (pipeline quant_vae='int8'): the decode stage
+        # is the second-heaviest part of full-volume generation (~540 of
+        # ~6275 TFLOP on the headline bench); its res-block/upsample convs
+        # run int8 with dynamic per-call activation scales. Decode runs once
+        # per volume, so static calibration isn't worth it there.
+        self.vae_dec_int8 = dataclasses.replace(self.vae, quant_dec_int8=True)
         self.schedule: DiffusionSchedule = make_schedule(
             m.noise_schedule, m.diffusion_timesteps, m.beta_start, m.beta_end
         )
@@ -182,6 +188,27 @@ class VideoToVideoDiffusion:
     def apply_unet_q(self, qparams, z_t, t, c):
         """UNet forward on int8-quantized params (from quantize_unet_params)."""
         return self.unet_int8.apply({"params": qparams["unet"]}, z_t, t, c)
+
+    def quantize_vae_decoder_params(self, params) -> Dict[str, Any]:
+        """Trained tree -> {'vae': decoder-int8 tree} for decode_q.
+
+        Pure and jittable, like quantize_unet_params. Encoder leaves are
+        copied unchanged (it stays at the compute dtype)."""
+        from video_to_video_diffusion_tpu.models.quantize import (
+            quantize_params_like,
+            vae_int8_structure,
+        )
+
+        f = self.spatial_factor
+        vol_shape = (1, 8, 4 * f, 4 * f, self.config.model.in_channels)
+        structure = vae_int8_structure(self.vae_dec_int8, vol_shape)
+        return {"vae": quantize_params_like(structure, params["vae"])}
+
+    def decode_q(self, qparams, z):
+        """VAE decode on the int8 decoder (from quantize_vae_decoder_params)."""
+        return self.vae_dec_int8.apply(
+            {"params": qparams["vae"]}, z, method=self.vae_dec_int8.decode
+        )
 
     def init_unet_act_scales(self):
         """Zeroed 'act_scales' collection for the static-quant UNet.

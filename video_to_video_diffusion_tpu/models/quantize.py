@@ -59,6 +59,20 @@ def unet_int8_structure(unet_int8, latent_shape, dtype=jnp.float32):
     return shapes
 
 
+def vae_int8_structure(vae_int8, volume_shape, dtype=jnp.float32):
+    """Abstract param structure of the decoder-quantized VAE via eval_shape.
+
+    volume_shape: (B, D, H, W, C) of one input volume. The encoder subtree
+    keeps plain kernels (copied by path in quantize_params_like); decoder
+    convs get kernel_q/kernel_scale leaves.
+    """
+    x = jnp.zeros(volume_shape, dtype)
+    shapes = jax.eval_shape(
+        lambda: vae_int8.init(jax.random.PRNGKey(0), x)["params"]
+    )
+    return shapes
+
+
 def unet_act_scales_zeros(unet_static, latent_shape, dtype=jnp.float32):
     """Concrete zeroed 'act_scales' collection for the static-quant UNet.
 

@@ -60,27 +60,38 @@ class VideoEncoder(nn.Module):
 
 
 class VideoDecoder(nn.Module):
-    """(B, D, h, w, latent_dim) -> (B, D, H, W, C), tanh output. Reference vae.py:150-204."""
+    """(B, D, h, w, latent_dim) -> (B, D, H, W, C), tanh output. Reference vae.py:150-204.
+
+    quant_int8: w8a8 int8 inference variant — the heavy res-block and
+    upsample convs run on the MXU's 2x int8 path (ops/quant.py), while the
+    tiny shape-critical ends (post_quant_conv 1x1x1 and the 3^3 conv_out
+    that feeds tanh) stay at the compute dtype. Parameter tree changes
+    (kernel -> kernel_q + kernel_scale); produce it with
+    quantize.quantize_params_like.
+    """
 
     out_channels: int = 1
     base_channels: int = 64
     num_up_stages: int = 2
     use_checkpoint: bool = False
     dtype: Dtype = jnp.float32
+    quant_int8: bool = False
+    quant_static: bool = False
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
         Res = nn.remat(ResBlock3D) if self.use_checkpoint else ResBlock3D
+        q = dict(quant=self.quant_int8, quant_static=self.quant_static)
         ch = self.base_channels * (2 ** self.num_up_stages)
         h = Conv3D(8, 1, 1, 0, dtype=self.dtype, name="post_quant_conv")(z)
-        h = Conv3DBlock(ch, dtype=self.dtype, name="conv_in")(h)
-        h = Res(ch, dtype=self.dtype, name="mid_res1")(h)
-        h = Res(ch, dtype=self.dtype, name="mid_res2")(h)
+        h = Conv3DBlock(ch, dtype=self.dtype, name="conv_in", **q)(h)
+        h = Res(ch, dtype=self.dtype, name="mid_res1", **q)(h)
+        h = Res(ch, dtype=self.dtype, name="mid_res2", **q)(h)
         for i in range(self.num_up_stages):
             ch //= 2
-            h = UpsampleBlock(ch, dtype=self.dtype, name=f"up{i+1}_us")(h)
-            h = Res(ch, dtype=self.dtype, name=f"up{i+1}_res1")(h)
-            h = Res(ch, dtype=self.dtype, name=f"up{i+1}_res2")(h)
+            h = UpsampleBlock(ch, dtype=self.dtype, name=f"up{i+1}_us", **q)(h)
+            h = Res(ch, dtype=self.dtype, name=f"up{i+1}_res1", **q)(h)
+            h = Res(ch, dtype=self.dtype, name=f"up{i+1}_res2", **q)(h)
         h = Conv3D(self.out_channels, 3, 1, 1, dtype=self.dtype, name="conv_out")(h)
         # Bound to [-1, 1] in f32 (vae.py:203)
         return jnp.tanh(h.astype(jnp.float32)).astype(h.dtype)
@@ -96,6 +107,11 @@ class SliceInterpolationVAE(nn.Module):
     num_down_stages: int = 2
     use_checkpoint: bool = False
     dtype: Dtype = jnp.float32
+    # w8a8 int8 DECODER variant (the encoder runs once per volume and stays
+    # at the compute dtype; the decoder is the HBM/FLOP-heavy stage worth
+    # quantizing — see VideoDecoder.quant_int8).
+    quant_dec_int8: bool = False
+    quant_static: bool = False
 
     def setup(self):
         self.encoder = VideoEncoder(
@@ -111,6 +127,8 @@ class SliceInterpolationVAE(nn.Module):
             num_up_stages=self.num_down_stages,
             use_checkpoint=self.use_checkpoint,
             dtype=self.dtype,
+            quant_int8=self.quant_dec_int8,
+            quant_static=self.quant_static,
         )
 
     def encode(self, x: jnp.ndarray) -> jnp.ndarray:
