@@ -13,7 +13,7 @@ single-chip path (shared _STAGE_CACHE; jax re-lowers each stage per input
 sharding automatically) — never a monolithic jit of model.generate, whose
 fused program takes >20 min to compile through a remote compiler
 (inference/pipeline.py docstring). This also gives the mesh path the w8a8
-int8 scan (`quant='int8'`) for free.
+int8 scan (`quant='int8'`) and int8 decode (`quant_vae='int8'`) for free.
 """
 
 from __future__ import annotations
@@ -36,6 +36,7 @@ def sharded_patch_generator(
     num_inference_steps: int,
     depth_ratio: int,
     quant: Optional[str] = None,
+    quant_vae: Optional[str] = None,
 ):
     """A generate-batch fn whose patch axis is sharded over 'data'.
 
@@ -58,6 +59,7 @@ def sharded_patch_generator(
             num_inference_steps=num_inference_steps,
             target_depth=v.shape[1] * depth_ratio,
             quant=quant,
+            quant_vae=quant_vae,
         )
 
     return wrapped
@@ -75,6 +77,7 @@ def sample_with_stitching_sharded(
     stride: Tuple[int, int, int] = (4, 96, 96),
     patch_batch: Optional[int] = None,
     quant: Optional[str] = None,
+    quant_vae: Optional[str] = None,
 ) -> jnp.ndarray:
     """Full-volume stitching with the patch grid fanned out over the mesh."""
     n_data = mesh.shape[DATA_AXIS]
@@ -83,7 +86,8 @@ def sample_with_stitching_sharded(
     patch_batch = max((patch_batch // n_data) * n_data, n_data)
     ratio = target_patch_size[0] // patch_size[0]
     gen = sharded_patch_generator(
-        model, params, mesh, num_inference_steps, ratio, quant=quant
+        model, params, mesh, num_inference_steps, ratio, quant=quant,
+        quant_vae=quant_vae,
     )
     return sample_with_stitching(
         gen,
