@@ -173,7 +173,7 @@ def ensure_synthetic_cache(
         thick_hu, thin_hu = synthetic_patient_pair(
             seed + i, thin_depth=thin_depth, height=height, width=width
         )
-        to16 = lambda v: to_model_range(apply_ct_windowing(v)).astype(np.float16)
+        to16 = lambda v: apply_ct_windowing(v, pm1=True).astype(np.float16)
         np.savez_compressed(
             out,
             input=to16(thick_hu),

@@ -1,8 +1,14 @@
-"""CT preprocessing: HU windowing and slice resizing (host-side numpy).
+"""CT preprocessing: HU windowing and slice resizing (host-side).
 
 Reference: data/slice_interpolation_dataset.py:575-624 — HU values are
 clipped to center±width/2, scaled to [0, 1], later shifted to [-1, 1]
 (:334-336); slices are bilinearly resized to the 512x512 target.
+
+Each op routes through the native C++ library (native/hostops.cc via
+data/_native.py) when it is available: multi-threaded, GIL-free, and
+bit-exact vs the numpy implementations kept here as the fallback
+(tests/test_native.py asserts exact equality). Set V2VDT_NATIVE=0 to force
+the numpy path.
 """
 
 from __future__ import annotations
@@ -11,7 +17,9 @@ from typing import Tuple
 
 import numpy as np
 
-try:  # cv2 is the fast host-side resizer; fall back to a numpy bilinear
+from video_to_video_diffusion_tpu.data import _native
+
+try:  # cv2 is the secondary host-side resizer; numpy bilinear is last
     import cv2
 
     _HAVE_CV2 = True
@@ -20,13 +28,28 @@ except Exception:  # pragma: no cover
 
 
 def apply_ct_windowing(
-    volume_hu: np.ndarray, center: float = 40.0, width: float = 400.0
+    volume_hu: np.ndarray,
+    center: float = 40.0,
+    width: float = 400.0,
+    pm1: bool = False,
 ) -> np.ndarray:
-    """HU -> [0, 1] via window clip (reference :575-592)."""
+    """HU -> [0, 1] via window clip (reference :575-592).
+
+    pm1=True fuses the subsequent [-1, 1] shift (to_model_range) into the
+    same pass — one HBM-sized traversal instead of two.
+    """
     lo = center - width / 2.0
     hi = center + width / 2.0
+    nat = _native.window(volume_hu, lo, hi, pm1=pm1)
+    if nat is None and _native.lib() is not None:
+        nat = _native.window(
+            np.ascontiguousarray(volume_hu, dtype=np.float32), lo, hi, pm1=pm1
+        )
+    if nat is not None:
+        return nat
     vol = np.clip(volume_hu.astype(np.float32), lo, hi)
-    return (vol - lo) / (hi - lo)
+    out = (vol - lo) / (hi - lo)
+    return out * 2.0 - 1.0 if pm1 else out
 
 
 def to_model_range(volume01: np.ndarray) -> np.ndarray:
@@ -65,6 +88,10 @@ def resize_slices(volume: np.ndarray, size: Tuple[int, int] = (512, 512)) -> np.
     D, H, W = volume.shape
     if (H, W) == tuple(size):
         return volume
+    if volume.dtype == np.float32 and volume.flags.c_contiguous:
+        nat = _native.resize_bilinear(volume, (int(size[0]), int(size[1])))
+        if nat is not None:
+            return nat
     out = np.empty((D, size[0], size[1]), volume.dtype)
     for i in range(D):
         if _HAVE_CV2:
@@ -77,7 +104,7 @@ def resize_slices(volume: np.ndarray, size: Tuple[int, int] = (512, 512)) -> np.
 
 
 def linear_resample_depth(volume: np.ndarray, target_depth: int) -> np.ndarray:
-    """Depth-only linear resample with half-pixel centers.
+    """Depth-only linear resample with half-pixel centers; returns float32.
 
     numpy equivalent of torch F.interpolate(mode='trilinear',
     align_corners=False) when only depth changes — used to map a thick
@@ -87,10 +114,14 @@ def linear_resample_depth(volume: np.ndarray, target_depth: int) -> np.ndarray:
     D = volume.shape[0]
     if D == target_depth:
         return volume.astype(np.float32)
+    v32 = np.ascontiguousarray(volume, dtype=np.float32)
+    nat = _native.resample_depth(v32, int(target_depth))
+    if nat is not None:
+        return nat
     zs = (np.arange(target_depth) + 0.5) * D / target_depth - 0.5
     z0 = np.clip(np.floor(zs).astype(int), 0, D - 1)
     z1 = np.clip(z0 + 1, 0, D - 1)
     wz = np.clip(zs - z0, 0, 1).reshape(-1, *([1] * (volume.ndim - 1)))
     return (
-        volume[z0].astype(np.float32) * (1 - wz) + volume[z1].astype(np.float32) * wz
-    )
+        v32[z0].astype(np.float64) * (1 - wz) + v32[z1].astype(np.float64) * wz
+    ).astype(np.float32)
