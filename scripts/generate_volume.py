@@ -73,6 +73,24 @@ def _load_input(args) -> tuple[np.ndarray, float]:
                     f"(has {sorted(z.keys())})"
                 )
             vol = np.asarray(z[args.input_key], np.float32)
+            # Caches written by data/datasets.py record the HU window they
+            # were built with; honor it so a later --dicom-out inverts the
+            # RIGHT window instead of the CLI default.
+            if "window_center" in z and "window_width" in z:
+                wc, ww = float(z["window_center"]), float(z["window_width"])
+                if (wc, ww) != (args.window_center, args.window_width):
+                    logger.info(
+                        "using the cache's HU window C=%.0f/W=%.0f "
+                        "(overrides --window-center/--window-width)", wc, ww,
+                    )
+                args.window_center, args.window_width = wc, ww
+            elif args.dicom_out:
+                logger.warning(
+                    "%s carries no window metadata; --dicom-out will invert "
+                    "the CLI window C=%.0f/W=%.0f — HU values are wrong if "
+                    "the volume was windowed differently",
+                    args.input, args.window_center, args.window_width,
+                )
         if vol.ndim == 5:  # already batched/channeled
             return vol, 1.0
         if vol.ndim == 4:  # (D, H, W, C)
@@ -116,7 +134,25 @@ def main(argv=None):
     ap.add_argument("--dicom-out", default=None,
                     help="also write the thin volume as a DICOM series")
     args = ap.parse_args(argv)
+    if args.target_patch[0] % args.patch[0]:
+        raise SystemExit(
+            f"--target-patch depth {args.target_patch[0]} must be a multiple "
+            f"of --patch depth {args.patch[0]}"
+        )
+    if args.target_patch[1:] != args.patch[1:]:
+        raise SystemExit(
+            "the model super-resolves depth only: --target-patch H W "
+            f"{args.target_patch[1:]} must equal --patch H W {args.patch[1:]}"
+        )
     args.ratio = args.target_patch[0] // args.patch[0]
+    if (args.quant or args.quant_vae) and args.sampler not in ("ddim", "edm"):
+        raise SystemExit("--quant/--quant-vae require --sampler ddim or edm")
+    if args.quant == "int8_static" and args.sampler != "ddim":
+        raise SystemExit(
+            "--quant int8_static requires --sampler ddim (the activation-"
+            "scale calibration pass runs a ddim trajectory); use --quant "
+            "int8 with edm"
+        )
 
     from video_to_video_diffusion_tpu.config import load_config
 
@@ -149,9 +185,6 @@ def main(argv=None):
         raise SystemExit("--params ema: checkpoint has no ema_params")
     params = restored["ema_params"] if use_ema else restored["params"]
 
-    if args.quant and args.sampler not in ("ddim", "edm"):
-        raise SystemExit("--quant/--quant-vae require --sampler ddim or edm")
-
     key = jax.random.PRNGKey(args.seed)
     t0 = time.time()
     if args.mesh and len(jax.devices()) > 1:
@@ -161,13 +194,14 @@ def main(argv=None):
         )
 
         mesh = make_mesh()
-        logger.info("stitching over mesh %s", dict(zip(mesh.axis_names, mesh.shape.values())))
+        logger.info("stitching over mesh %s", dict(mesh.shape))
         out = sample_with_stitching_sharded(
             model, params, mesh, jnp.asarray(v_in), key,
             num_inference_steps=args.steps,
             patch_size=tuple(args.patch),
             target_patch_size=tuple(args.target_patch),
             stride=tuple(args.stride),
+            sampler=args.sampler, eta=args.eta,
             quant=args.quant, quant_vae=args.quant_vae,
         )
     else:

@@ -27,6 +27,7 @@ def _args(**kw) -> argparse.Namespace:
         input=None, synthetic=None, input_key="input",
         synthetic_depth=4, synthetic_size=32,
         window_center=40.0, window_width=400.0, ratio=2,
+        dicom_out=None,
     )
     base.update(kw)
     return argparse.Namespace(**base)
@@ -73,3 +74,14 @@ def test_window_inversion_roundtrip():
     lo = 40.0 - 400.0 / 2.0
     hu_back = (pm1 + 1.0) / 2.0 * 400.0 + lo
     np.testing.assert_allclose(hu_back, hu, atol=1e-3)
+
+
+def test_load_npz_honors_cache_window(tmp_path):
+    p = str(tmp_path / "case.npz")
+    np.savez(
+        p, input=np.zeros((4, 8, 8), np.float16),
+        window_center=np.float32(-600.0), window_width=np.float32(1500.0),
+    )
+    a = _args(input=p)
+    gv._load_input(a)
+    assert a.window_center == -600.0 and a.window_width == 1500.0

@@ -179,3 +179,26 @@ def test_sharded_stitching_int8(tmp_path):
     )
     assert out.shape == (1, 8, 64, 64, 1)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_stitching_honors_sampler(tmp_path):
+    """sampler/eta thread through the mesh fan-out: EDM output differs from
+    the DDIM default but keeps shape/finiteness (same staged stages)."""
+    cfg = load_config("tiny_test")
+    model = VideoToVideoDiffusion(cfg)
+    params = model.init(jax.random.PRNGKey(0), patch_shape=(4, 32, 32), batch=1)
+    mesh = make_mesh(8, tensor_parallel=1)
+    vol = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 64, 64, 1))
+    kw = dict(
+        num_inference_steps=2,
+        patch_size=(4, 32, 32), target_patch_size=(8, 32, 32),
+        stride=(2, 16, 16), patch_batch=8,
+    )
+    ddim = sample_with_stitching_sharded(
+        model, params, mesh, vol, jax.random.PRNGKey(2), **kw)
+    edm = sample_with_stitching_sharded(
+        model, params, mesh, vol, jax.random.PRNGKey(2), sampler="edm", **kw)
+    assert edm.shape == ddim.shape
+    assert np.isfinite(np.asarray(edm)).all()
+    assert float(np.abs(np.asarray(edm) - np.asarray(ddim)).max()) > 1e-6

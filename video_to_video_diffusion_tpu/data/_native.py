@@ -19,7 +19,6 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import tempfile
 from pathlib import Path
 from typing import Optional, Tuple
 
@@ -35,26 +34,16 @@ _tried = False
 
 
 def _build() -> bool:
-    """Compile hostops.cc -> libhostops.so (atomic rename; ~1 s)."""
+    """Compile via `make -C native` (the Makefile owns the flags; ~1 s)."""
     if not _SRC.exists():
         return False
-    _SO.parent.mkdir(parents=True, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(suffix=".so", dir=str(_SO.parent))
-    os.close(fd)
-    cmd = [
-        os.environ.get("CXX", "g++"),
-        "-O3", "-std=c++17", "-fPIC", "-shared", "-pthread",
-        "-o", tmp, str(_SRC),
-    ]
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(tmp, _SO)
-        return True
+        subprocess.run(
+            ["make", "-C", str(_SRC.parent), "-B"],
+            check=True, capture_output=True, timeout=120,
+        )
+        return _SO.exists()
     except Exception:
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
         return False
 
 

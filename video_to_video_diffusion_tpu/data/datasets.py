@@ -104,6 +104,8 @@ def preprocess_case(
             cache_path,
             input=prep(thick_hu),
             target=prep(thin_hu),
+            window_center=np.float32(window_center),
+            window_width=np.float32(window_width),
             meta=json.dumps(
                 {"thick_mm": thick_mm, "thin_mm": thin_mm, "source": os.path.basename(case_path)}
             ),
@@ -178,6 +180,8 @@ def ensure_synthetic_cache(
             out,
             input=to16(thick_hu),
             target=to16(thin_hu),
+            window_center=np.float32(40.0),
+            window_width=np.float32(400.0),
             meta=json.dumps({"thick_mm": 5.0, "thin_mm": 1.0, "source": "synthetic"}),
         )
     return paths

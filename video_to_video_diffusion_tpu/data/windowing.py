@@ -6,9 +6,13 @@ clipped to center±width/2, scaled to [0, 1], later shifted to [-1, 1]
 
 Each op routes through the native C++ library (native/hostops.cc via
 data/_native.py) when it is available: multi-threaded, GIL-free, and
-bit-exact vs the numpy implementations kept here as the fallback
-(tests/test_native.py asserts exact equality). Set V2VDT_NATIVE=0 to force
-the numpy path.
+bit-exact vs the numpy implementations kept here (tests/test_native.py
+asserts exact equality). Set V2VDT_NATIVE=0 to disable the native path.
+Fallback order for resize_slices is native -> cv2 -> numpy: cv2's
+INTER_LINEAR agrees with the half-pixel formula only to float precision
+(different arithmetic order), so with cv2 installed, toggling the native
+path can change cache contents in the last ulp — rebuild caches rather
+than mixing the two within one dataset.
 """
 
 from __future__ import annotations

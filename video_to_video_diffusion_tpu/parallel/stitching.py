@@ -37,6 +37,8 @@ def sharded_patch_generator(
     depth_ratio: int,
     quant: Optional[str] = None,
     quant_vae: Optional[str] = None,
+    sampler: str = "ddim",
+    eta: float = 0.0,
 ):
     """A generate-batch fn whose patch axis is sharded over 'data'.
 
@@ -58,6 +60,8 @@ def sharded_patch_generator(
             k,
             num_inference_steps=num_inference_steps,
             target_depth=v.shape[1] * depth_ratio,
+            eta=eta,
+            sampler=sampler,
             quant=quant,
             quant_vae=quant_vae,
         )
@@ -78,6 +82,8 @@ def sample_with_stitching_sharded(
     patch_batch: Optional[int] = None,
     quant: Optional[str] = None,
     quant_vae: Optional[str] = None,
+    sampler: str = "ddim",
+    eta: float = 0.0,
 ) -> jnp.ndarray:
     """Full-volume stitching with the patch grid fanned out over the mesh."""
     n_data = mesh.shape[DATA_AXIS]
@@ -87,7 +93,7 @@ def sample_with_stitching_sharded(
     ratio = target_patch_size[0] // patch_size[0]
     gen = sharded_patch_generator(
         model, params, mesh, num_inference_steps, ratio, quant=quant,
-        quant_vae=quant_vae,
+        quant_vae=quant_vae, sampler=sampler, eta=eta,
     )
     return sample_with_stitching(
         gen,
