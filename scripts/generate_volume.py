@@ -20,6 +20,18 @@ Usage:
   (parallel/stitching.sample_with_stitching_sharded); default is the
   single-chip pipelined path (the 18.6x headline configuration with
   --quant int8_static --quant-vae int8).
+
+Batch serving mode — many volumes, one process, one compile:
+  python scripts/generate_volume.py --checkpoint <dir> --input-dir cases/ \
+      --output-dir out/ [every flag above]
+
+  Discovers `*.npz` cases and DICOM-series subdirectories under --input-dir,
+  runs them through the SAME compiled pipeline stages (same-shape volumes
+  reuse the jit cache, so only the first case pays the compile — the
+  dominant cost per invocation on a tunneled TPU), and writes
+  `<output-dir>/<case>_thin.npz` (+ `<dicom-out>/<case>/` DICOM series if
+  requested). Prints one JSON summary line per case plus an aggregate line
+  with the steady-state seconds/volume.
 """
 
 from __future__ import annotations
@@ -37,6 +49,21 @@ import numpy as np
 from video_to_video_diffusion_tpu.utils.logger import setup_logger
 
 logger = setup_logger("generate_volume")
+
+
+def _discover_cases(input_dir: str) -> list[tuple[str, str]]:
+    """Batch-mode case discovery: sorted (stem, path) for every `*.npz` file
+    and every immediate subdirectory containing at least one `.dcm` slice."""
+    cases: list[tuple[str, str]] = []
+    for name in sorted(os.listdir(input_dir)):
+        p = os.path.join(input_dir, name)
+        if name.endswith(".npz") and os.path.isfile(p):
+            cases.append((name[: -len(".npz")], p))
+        elif os.path.isdir(p) and any(
+            f.endswith(".dcm") for f in os.listdir(p)
+        ):
+            cases.append((name, p))
+    return cases
 
 
 def _load_input(args) -> tuple[np.ndarray, float]:
@@ -108,6 +135,10 @@ def main(argv=None):
                      help=".npz case (see --input-key) or DICOM series dir")
     src.add_argument("--synthetic", type=int, default=None, metavar="SEED",
                      help="generate a synthetic thick phantom instead")
+    src.add_argument("--input-dir", default=None,
+                     help="batch mode: directory of .npz cases and/or DICOM "
+                          "series subdirectories; same-shape volumes reuse "
+                          "one compile (see module docstring)")
     ap.add_argument("--input-key", default="input",
                     help=".npz key holding the [-1,1] thick volume")
     ap.add_argument("--synthetic-depth", type=int, default=8)
@@ -131,8 +162,12 @@ def main(argv=None):
     ap.add_argument("--mesh", action="store_true",
                     help="fan the patch grid over all visible devices")
     ap.add_argument("--output", default="generated_volume.npz")
+    ap.add_argument("--output-dir", default="generated",
+                    help="batch mode: per-case outputs go to "
+                         "<output-dir>/<case>_thin.npz (--output is ignored)")
     ap.add_argument("--dicom-out", default=None,
-                    help="also write the thin volume as a DICOM series")
+                    help="also write the thin volume as a DICOM series "
+                         "(batch mode: a <dicom-out>/<case>/ series per case)")
     args = ap.parse_args(argv)
     if args.target_patch[0] % args.patch[0]:
         raise SystemExit(
@@ -171,9 +206,14 @@ def main(argv=None):
     from video_to_video_diffusion_tpu.models.model import VideoToVideoDiffusion
     from video_to_video_diffusion_tpu.utils.checkpoint import load_checkpoint
 
-    v_in, thickness = _load_input(args)
-    logger.info("input volume: %s in [%.3f, %.3f]",
-                v_in.shape, float(v_in.min()), float(v_in.max()))
+    cases = None
+    if args.input_dir:
+        cases = _discover_cases(args.input_dir)
+        if not cases:
+            raise SystemExit(
+                f"--input-dir {args.input_dir}: no .npz cases or DICOM "
+                "series subdirectories found"
+            )
 
     model = VideoToVideoDiffusion(cfg)
     restored, _meta = load_checkpoint(args.checkpoint)
@@ -185,83 +225,147 @@ def main(argv=None):
         raise SystemExit("--params ema: checkpoint has no ema_params")
     params = restored["ema_params"] if use_ema else restored["params"]
 
-    key = jax.random.PRNGKey(args.seed)
-    t0 = time.time()
-    if args.mesh and len(jax.devices()) > 1:
-        from video_to_video_diffusion_tpu.parallel.mesh import make_mesh
-        from video_to_video_diffusion_tpu.parallel.stitching import (
-            sample_with_stitching_sharded,
-        )
+    mesh = None
+    if args.mesh:
+        if len(jax.devices()) > 1:
+            from video_to_video_diffusion_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh()
-        logger.info("stitching over mesh %s", dict(mesh.shape))
-        out = sample_with_stitching_sharded(
-            model, params, mesh, jnp.asarray(v_in), key,
-            num_inference_steps=args.steps,
-            patch_size=tuple(args.patch),
-            target_patch_size=tuple(args.target_patch),
-            stride=tuple(args.stride),
-            sampler=args.sampler, eta=args.eta,
-            quant=args.quant, quant_vae=args.quant_vae,
-        )
-    else:
-        if args.mesh:
-            logger.warning("--mesh requested but only 1 device visible; single-chip path")
-        from video_to_video_diffusion_tpu.inference.pipeline import generate_volume
+            mesh = make_mesh()
+            logger.info("stitching over mesh %s", dict(mesh.shape))
+        else:
+            logger.warning(
+                "--mesh requested but only 1 device visible; single-chip path"
+            )
 
-        out = generate_volume(
-            model, params, jnp.asarray(v_in), key,
-            num_inference_steps=args.steps,
-            patch_size=tuple(args.patch),
-            target_patch_size=tuple(args.target_patch),
-            stride=tuple(args.stride),
-            vae_batch=args.vae_batch,
-            eta=args.eta, sampler=args.sampler,
-            quant=args.quant, quant_vae=args.quant_vae,
+    def _generate(v_in: np.ndarray, key) -> tuple[np.ndarray, float]:
+        t0 = time.time()
+        if mesh is not None:
+            from video_to_video_diffusion_tpu.parallel.stitching import (
+                sample_with_stitching_sharded,
+            )
+
+            out = sample_with_stitching_sharded(
+                model, params, mesh, jnp.asarray(v_in), key,
+                num_inference_steps=args.steps,
+                patch_size=tuple(args.patch),
+                target_patch_size=tuple(args.target_patch),
+                stride=tuple(args.stride),
+                sampler=args.sampler, eta=args.eta,
+                quant=args.quant, quant_vae=args.quant_vae,
+            )
+        else:
+            from video_to_video_diffusion_tpu.inference.pipeline import (
+                generate_volume,
+            )
+
+            out = generate_volume(
+                model, params, jnp.asarray(v_in), key,
+                num_inference_steps=args.steps,
+                patch_size=tuple(args.patch),
+                target_patch_size=tuple(args.target_patch),
+                stride=tuple(args.stride),
+                vae_batch=args.vae_batch,
+                eta=args.eta, sampler=args.sampler,
+                quant=args.quant, quant_vae=args.quant_vae,
+            )
+        out_np = np.asarray(out, np.float32)  # host readback = sync
+        return out_np, time.time() - t0
+
+    def _write_case(case_args, out_np, thickness, output_path, dicom_dir, dt):
+        thin = out_np[0, ..., 0]  # (D_thin, H, W) in [-1, 1]
+        os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+        np.savez_compressed(
+            output_path,
+            volume=thin.astype(np.float16),
+            window_center=case_args.window_center,
+            window_width=case_args.window_width,
+            sampler=args.sampler,
+            steps=args.steps,
         )
-    out_np = np.asarray(out, np.float32)  # host readback = sync
-    dt = time.time() - t0
+        logger.info("wrote %s", output_path)
+
+        if dicom_dir:
+            from video_to_video_diffusion_tpu.data.dicom import write_minimal_dicom
+
+            os.makedirs(dicom_dir, exist_ok=True)
+            lo = case_args.window_center - case_args.window_width / 2.0
+            # invert the window: [-1, 1] -> HU
+            hu = (thin + 1.0) / 2.0 * case_args.window_width + lo
+            thin_thickness = thickness / args.ratio if thickness > 0 else 1.0
+            for i in range(hu.shape[0]):
+                write_minimal_dicom(
+                    os.path.join(dicom_dir, f"slice_{i:04d}.dcm"),
+                    hu[i], instance_number=i + 1,
+                    z_position=i * thin_thickness,
+                    slice_thickness=thin_thickness,
+                )
+            logger.info("wrote %d DICOM slices to %s", hu.shape[0], dicom_dir)
+
+        return {
+            "output": output_path,
+            "shape": list(out_np.shape),
+            "sampler": args.sampler,
+            "steps": args.steps,
+            "quant": args.quant,
+            "quant_vae": args.quant_vae,
+            "params": "ema" if use_ema else "raw",
+            "seconds": round(dt, 3),
+        }
+
+    if cases is not None:
+        logger.info("batch mode: %d cases from %s", len(cases), args.input_dir)
+        os.makedirs(args.output_dir, exist_ok=True)
+        base_key = jax.random.PRNGKey(args.seed)
+        summaries, failures = [], 0
+        for i, (stem, path) in enumerate(cases):
+            # per-case namespace so npz cache-window overrides don't leak
+            # into the next case's output metadata
+            case_args = argparse.Namespace(**vars(args))
+            case_args.input = path
+            try:
+                v_in, thickness = _load_input(case_args)
+                logger.info("case %s: input volume %s", stem, v_in.shape)
+                out_np, dt = _generate(v_in, jax.random.fold_in(base_key, i))
+                dicom_dir = (
+                    os.path.join(args.dicom_out, stem) if args.dicom_out else None
+                )
+                s = _write_case(
+                    case_args, out_np, thickness,
+                    os.path.join(args.output_dir, f"{stem}_thin.npz"),
+                    dicom_dir, dt,
+                )
+            except (Exception, SystemExit) as e:  # noqa: BLE001 — serving:
+                # report, move on (_load_input raises SystemExit on bad cases)
+                # (reference failure-report pattern,
+                #  slice_interpolation_dataset.py:359-398)
+                logger.error("case %s FAILED: %s", stem, e)
+                s, failures = {"error": str(e)}, failures + 1
+            s["case"] = stem
+            print(json.dumps(s))
+            summaries.append(s)
+        secs = [s["seconds"] for s in summaries if "seconds" in s]
+        if failures == len(summaries):
+            raise SystemExit(f"all {failures} cases failed; see log above")
+        agg = {
+            "cases": len(summaries),
+            "failed": failures,
+            "total_seconds": round(sum(secs), 3),
+            "first_seconds_incl_compile": secs[0] if secs else None,
+            "steady_seconds_per_volume": (
+                round(sum(secs[1:]) / (len(secs) - 1), 3) if len(secs) > 1 else None
+            ),
+            "output_dir": args.output_dir,
+        }
+        print(json.dumps(agg))
+        return agg
+
+    v_in, thickness = _load_input(args)
+    logger.info("input volume: %s in [%.3f, %.3f]",
+                v_in.shape, float(v_in.min()), float(v_in.max()))
+    out_np, dt = _generate(v_in, jax.random.PRNGKey(args.seed))
     logger.info("generated %s in %.1f s (incl. compile on first run)",
                 out_np.shape, dt)
-
-    thin = out_np[0, ..., 0]  # (D_thin, H, W) in [-1, 1]
-    os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
-    np.savez_compressed(
-        args.output,
-        volume=thin.astype(np.float16),
-        window_center=args.window_center,
-        window_width=args.window_width,
-        sampler=args.sampler,
-        steps=args.steps,
-    )
-    logger.info("wrote %s", args.output)
-
-    if args.dicom_out:
-        from video_to_video_diffusion_tpu.data.dicom import write_minimal_dicom
-
-        os.makedirs(args.dicom_out, exist_ok=True)
-        lo = args.window_center - args.window_width / 2.0
-        hu = (thin + 1.0) / 2.0 * args.window_width + lo  # invert the window
-        thin_thickness = thickness / args.ratio if thickness > 0 else 1.0
-        for i in range(hu.shape[0]):
-            write_minimal_dicom(
-                os.path.join(args.dicom_out, f"slice_{i:04d}.dcm"),
-                hu[i], instance_number=i + 1,
-                z_position=i * thin_thickness,
-                slice_thickness=thin_thickness,
-            )
-        logger.info("wrote %d DICOM slices to %s", hu.shape[0], args.dicom_out)
-
-    summary = {
-        "output": args.output,
-        "shape": list(out_np.shape),
-        "sampler": args.sampler,
-        "steps": args.steps,
-        "quant": args.quant,
-        "quant_vae": args.quant_vae,
-        "params": "ema" if use_ema else "raw",
-        "seconds": round(dt, 3),
-    }
+    summary = _write_case(args, out_np, thickness, args.output, args.dicom_out, dt)
     print(json.dumps(summary))
     return summary
 

@@ -76,6 +76,77 @@ def test_window_inversion_roundtrip():
     np.testing.assert_allclose(hu_back, hu, atol=1e-3)
 
 
+def test_discover_cases(tmp_path):
+    # npz files and DICOM-series subdirs are cases; everything else is not
+    np.savez(str(tmp_path / "b_case.npz"), input=np.zeros((2, 4, 4)))
+    np.savez(str(tmp_path / "a_case.npz"), input=np.zeros((2, 4, 4)))
+    d = tmp_path / "series1"
+    d.mkdir()
+    write_minimal_dicom(
+        str(d / "s0.dcm"), np.zeros((4, 4), np.float32),
+        instance_number=1, z_position=0.0, slice_thickness=1.0,
+    )
+    (tmp_path / "empty_dir").mkdir()
+    (tmp_path / "notes.txt").write_text("junk")
+    cases = gv._discover_cases(str(tmp_path))
+    assert [stem for stem, _ in cases] == ["a_case", "b_case", "series1"]
+    assert all(os.path.exists(p) for _, p in cases)
+
+
+def test_batch_mode_end_to_end(tmp_path):
+    """Two same-shape npz cases through one process: per-case outputs, one
+    compile reused (the second case must not re-trace), per-case JSON lines
+    plus the aggregate, and a failing case reported without killing the run."""
+    import jax
+
+    from video_to_video_diffusion_tpu.config import load_config
+    from video_to_video_diffusion_tpu.models.model import VideoToVideoDiffusion
+    from video_to_video_diffusion_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = load_config("tiny_test")
+    model = VideoToVideoDiffusion(cfg)
+    params = model.init(jax.random.PRNGKey(0), patch_shape=(4, 32, 32), batch=1)
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, {"params": params}, metadata={"test": True})
+
+    cases = tmp_path / "cases"
+    cases.mkdir()
+    rng = np.random.default_rng(0)
+    for name in ("p0", "p1"):
+        np.savez(
+            str(cases / f"{name}.npz"),
+            input=rng.uniform(-1, 1, size=(4, 64, 64)).astype(np.float16),
+        )
+    # a corrupt case must be reported, not fatal
+    np.savez(str(cases / "p2_bad.npz"), wrong_key=np.zeros((4, 64, 64)))
+
+    out_dir = str(tmp_path / "out")
+    agg = gv.main([
+        "--config", "tiny_test", "--checkpoint", ckpt,
+        "--input-dir", str(cases), "--output-dir", out_dir,
+        "--steps", "2", "--patch", "4", "32", "32",
+        "--target-patch", "8", "32", "32", "--stride", "2", "16", "16",
+        "--vae-batch", "4",
+    ])
+    assert agg["cases"] == 3 and agg["failed"] == 1
+    assert agg["steady_seconds_per_volume"] is not None
+    for name in ("p0", "p1"):
+        p = os.path.join(out_dir, f"{name}_thin.npz")
+        with np.load(p) as z:
+            vol = np.asarray(z["volume"], np.float32)
+        assert vol.shape == (8, 64, 64)
+        assert np.isfinite(vol).all()
+    assert not os.path.exists(os.path.join(out_dir, "p2_bad_thin.npz"))
+
+
+def test_batch_mode_empty_dir_exits(tmp_path):
+    with pytest.raises(SystemExit):
+        gv.main([
+            "--config", "tiny_test", "--checkpoint", "unused",
+            "--input-dir", str(tmp_path), "--output-dir", str(tmp_path / "o"),
+        ])
+
+
 def test_load_npz_honors_cache_window(tmp_path):
     p = str(tmp_path / "case.npz")
     np.savez(
