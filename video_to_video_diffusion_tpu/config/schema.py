@@ -57,6 +57,10 @@ class ModelConfig:
     diffusion_timesteps: int = 1000
     beta_start: float = 0.0001
     beta_end: float = 0.02
+    # UNet output parametrization: 'epsilon' (reference behavior,
+    # models/diffusion.py:135-142), 'v' (Salimans & Ho 2022), or 'x0'.
+    # Samplers are parametrization-agnostic (diffusion.to_epsilon).
+    prediction_type: str = "epsilon"
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "ModelConfig":
@@ -76,6 +80,7 @@ class ModelConfig:
             diffusion_timesteps=int(_pick(d, "diffusion_timesteps", default=1000)),
             beta_start=float(_pick(d, "beta_start", default=0.0001)),
             beta_end=float(_pick(d, "beta_end", default=0.02)),
+            prediction_type=str(_pick(d, "prediction_type", default="epsilon")),
         )
 
 

@@ -19,6 +19,7 @@ from video_to_video_diffusion_tpu.data.transforms import (
     load_video,
     save_video,
 )
+from video_to_video_diffusion_tpu.models.diffusion import to_epsilon
 from video_to_video_diffusion_tpu.inference.sampler import ddim_sample
 from video_to_video_diffusion_tpu.models.model import VideoToVideoDiffusion
 from video_to_video_diffusion_tpu.utils.metrics import calculate_video_metrics
@@ -108,7 +109,8 @@ def interpolate_videos(
 
         def _sample(p, z_c, k):
             def eps_fn(z, t):
-                return model.apply_unet(p, z, t, z_c, f32=True)
+                out = model.apply_unet(p, z, t, z_c, f32=True)
+                return to_epsilon(model.schedule, model.prediction_type, z, t, out)
 
             return ddim_sample(eps_fn, model.schedule, k, z_c.shape, num_inference_steps)
 

@@ -137,6 +137,87 @@ def predict_z0_from_noise(
     )
 
 
+PREDICTION_TYPES = ("epsilon", "v", "x0")
+
+
+def prediction_target(
+    schedule: DiffusionSchedule,
+    prediction_type: str,
+    z0: jnp.ndarray,
+    t: jnp.ndarray,
+    noise: jnp.ndarray,
+) -> jnp.ndarray:
+    """Training target for the given parametrization.
+
+    The reference trains epsilon-prediction only (models/diffusion.py:135-142);
+    'v' (Salimans & Ho 2022, v = sqrt(abar) eps - sqrt(1-abar) x0) and 'x0'
+    are TPU-side additions — for strongly-conditioned near-deterministic
+    tasks like slice interpolation they force the network to predict signal
+    at high noise levels, where eps-prediction carries no gradient toward
+    the conditioning.
+    """
+    if prediction_type == "epsilon":
+        return noise
+    c0 = _extract(schedule.sqrt_alphas_cumprod, t, z0.ndim)
+    c1 = _extract(schedule.sqrt_one_minus_alphas_cumprod, t, z0.ndim)
+    if prediction_type == "v":
+        return (
+            c0 * noise.astype(jnp.float32) - c1 * z0.astype(jnp.float32)
+        ).astype(z0.dtype)
+    if prediction_type == "x0":
+        return z0
+    raise ValueError(f"Unknown prediction_type {prediction_type!r}; expected one of {PREDICTION_TYPES}")
+
+
+def to_epsilon(
+    schedule: DiffusionSchedule,
+    prediction_type: str,
+    z_t: jnp.ndarray,
+    t: jnp.ndarray,
+    pred: jnp.ndarray,
+) -> jnp.ndarray:
+    """Convert a network output in any parametrization to an eps estimate.
+
+    Lets every sampler keep its eps-based update equations (the DDIM update's
+    z0-from-eps reconstruction is exact under this conversion): for 'v',
+    eps = sqrt(1-abar) z_t + sqrt(abar) v; for 'x0',
+    eps = (z_t - sqrt(abar) x0) / sqrt(1-abar) (stabilized like the
+    reference's roots, sampler.py:284-320).
+    """
+    if prediction_type == "epsilon":
+        return pred
+    c0 = _extract(schedule.sqrt_alphas_cumprod, t, z_t.ndim)
+    c1 = _extract(schedule.sqrt_one_minus_alphas_cumprod, t, z_t.ndim)
+    z = z_t.astype(jnp.float32)
+    p = pred.astype(jnp.float32)
+    if prediction_type == "v":
+        return (c1 * z + c0 * p).astype(pred.dtype)
+    if prediction_type == "x0":
+        return ((z - c0 * p) / (c1 + 1e-8)).astype(pred.dtype)
+    raise ValueError(f"Unknown prediction_type {prediction_type!r}; expected one of {PREDICTION_TYPES}")
+
+
+def predict_z0_from_pred(
+    schedule: DiffusionSchedule,
+    prediction_type: str,
+    z_t: jnp.ndarray,
+    t: jnp.ndarray,
+    pred: jnp.ndarray,
+) -> jnp.ndarray:
+    """z0 estimate from a network output in any parametrization."""
+    if prediction_type == "epsilon":
+        return predict_z0_from_noise(schedule, z_t, t, pred)
+    if prediction_type == "x0":
+        return pred
+    if prediction_type == "v":
+        c0 = _extract(schedule.sqrt_alphas_cumprod, t, z_t.ndim)
+        c1 = _extract(schedule.sqrt_one_minus_alphas_cumprod, t, z_t.ndim)
+        return (
+            c0 * z_t.astype(jnp.float32) - c1 * pred.astype(jnp.float32)
+        ).astype(z_t.dtype)
+    raise ValueError(f"Unknown prediction_type {prediction_type!r}; expected one of {PREDICTION_TYPES}")
+
+
 def posterior_mean_variance(
     schedule: DiffusionSchedule,
     z0_pred: jnp.ndarray,
@@ -153,15 +234,29 @@ def posterior_mean_variance(
     return mean, variance, log_variance
 
 
-def min_snr_weight(schedule: DiffusionSchedule, t: jnp.ndarray, gamma: float = 5.0) -> jnp.ndarray:
+def min_snr_weight(
+    schedule: DiffusionSchedule,
+    t: jnp.ndarray,
+    gamma: float = 5.0,
+    prediction_type: str = "epsilon",
+) -> jnp.ndarray:
     """Min-SNR-gamma loss weight (reference models/diffusion.py:144-149).
 
     snr = a-bar/(1-a-bar); weight = min(snr, gamma)/snr — down-weights easy
-    low-noise timesteps so per-timestep loss variance is balanced.
+    low-noise timesteps so per-timestep loss variance is balanced. For the
+    'v'/'x0' parametrizations the weight is re-expressed so the implied
+    x0-space weighting matches the epsilon one (Hang et al. 2023 §3.3).
     """
     abar = schedule.alphas_cumprod[t]
     snr = abar / (1.0 - abar + 1e-8)
-    return jnp.clip(snr, max=gamma) / (snr + 1e-8)
+    clipped = jnp.clip(snr, max=gamma)
+    if prediction_type == "epsilon":
+        return clipped / (snr + 1e-8)
+    if prediction_type == "v":
+        return clipped / (snr + 1.0)
+    if prediction_type == "x0":
+        return clipped
+    raise ValueError(f"Unknown prediction_type {prediction_type!r}; expected one of {PREDICTION_TYPES}")
 
 
 def diffusion_training_loss(
@@ -171,8 +266,15 @@ def diffusion_training_loss(
     t: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
     snr_gamma: float = 5.0,
+    prediction_type: str = "epsilon",
 ) -> Tuple[jnp.ndarray, dict]:
-    """Min-SNR-weighted epsilon-MSE loss.
+    """Min-SNR-weighted prediction-MSE loss (epsilon by default).
+
+    For prediction_type='v'/'x0', pass the matching (pred, target) pair from
+    prediction_target(); the Min-SNR-gamma weight is re-expressed in that
+    parametrization (Hang et al. 2023): eps -> min(snr,g)/snr,
+    v -> min(snr,g)/(snr+1), x0 -> min(snr,g), so the three objectives weight
+    each timestep's *x0-space* error identically.
 
     Mirrors the three reference paths (models/diffusion.py:152-199):
       * mask=None: per-sample mean MSE, SNR-weighted, batch mean.
@@ -197,7 +299,7 @@ def diffusion_training_loss(
     """
     B = eps_pred.shape[0]
     diff = (eps_pred.astype(jnp.float32) - eps_true.astype(jnp.float32)) ** 2
-    w = min_snr_weight(schedule, t, snr_gamma)  # (B,)
+    w = min_snr_weight(schedule, t, snr_gamma, prediction_type)  # (B,)
 
     if mask is None:
         per_sample = diff.reshape(B, -1).mean(axis=1)

@@ -27,11 +27,14 @@ import jax.numpy as jnp
 
 from video_to_video_diffusion_tpu.config import Config, load_config
 from video_to_video_diffusion_tpu.models.diffusion import (
+    PREDICTION_TYPES,
     DiffusionSchedule,
     diffusion_training_loss,
     make_schedule,
+    prediction_target,
     q_sample,
     sample_timesteps,
+    to_epsilon,
 )
 from video_to_video_diffusion_tpu.models.unet3d import UNet3D
 from video_to_video_diffusion_tpu.models.vae import SliceInterpolationVAE
@@ -100,6 +103,12 @@ class VideoToVideoDiffusion:
         )
         self.latent_dim = m.latent_dim
         self.spatial_factor = 2 ** m.vae_num_down_stages
+        if m.prediction_type not in PREDICTION_TYPES:
+            raise ValueError(
+                f"model.prediction_type={m.prediction_type!r}; expected one of "
+                f"{PREDICTION_TYPES}"
+            )
+        self.prediction_type = m.prediction_type
         # losses: section (reference config:148-161). The reference parses it
         # but hardcodes use_ssim=False at model.py:218; here the knob works.
         lc = self.config.losses
@@ -286,9 +295,11 @@ class VideoToVideoDiffusion:
         t = sample_timesteps(kt, z_gt.shape[0], self.schedule.timesteps)
         noise = jax.random.normal(kn, z_gt.shape, jnp.float32).astype(z_gt.dtype)
         z_t = q_sample(self.schedule, z_gt, t, noise)
-        eps_pred = self.apply_unet(params, z_t, t, z_in)
+        pred = self.apply_unet(params, z_t, t, z_in)
+        target = prediction_target(self.schedule, self.prediction_type, z_gt, t, noise)
         loss, metrics = diffusion_training_loss(
-            self.schedule, eps_pred, noise, t, mask=z_mask
+            self.schedule, pred, target, t, mask=z_mask,
+            prediction_type=self.prediction_type,
         )
         if self.combined_loss is not None and step is not None:
             # Gated MS-SSIM on the decoded predicted volume (reference
@@ -296,13 +307,15 @@ class VideoToVideoDiffusion:
             # z0_pred into the UNet; the VAE weights themselves see no
             # gradient (stop_gradient — they are frozen upstream anyway).
             from video_to_video_diffusion_tpu.models.diffusion import (
-                predict_z0_from_noise,
+                predict_z0_from_pred,
             )
 
             frozen_vae = {"vae": jax.lax.stop_gradient(params["vae"])}
 
             def decoded():
-                z0_pred = predict_z0_from_noise(self.schedule, z_t, t, eps_pred)
+                z0_pred = predict_z0_from_pred(
+                    self.schedule, self.prediction_type, z_t, t, pred
+                )
                 v_pred = self.decode(frozen_vae, z0_pred)
                 return v_pred, v_gt
 
@@ -355,7 +368,8 @@ class VideoToVideoDiffusion:
         latent_shape = z_in.shape
 
         def eps_fn(z, t):
-            return self.apply_unet(params, z, t, z_in, f32=f32).astype(jnp.float32)
+            out = self.apply_unet(params, z, t, z_in, f32=f32).astype(jnp.float32)
+            return to_epsilon(self.schedule, self.prediction_type, z, t, out)
 
         if sampler == "ddpm":
             z0 = ddpm_sample(eps_fn, self.schedule, key, latent_shape)

@@ -40,6 +40,11 @@ class VideoEncoder(nn.Module):
     num_down_stages: int = 2
     use_checkpoint: bool = False
     dtype: Dtype = jnp.float32
+    # Width of the SD-VAE-style pre-quant head. The reference hardcodes 8
+    # (vae.py:132-137), which matches its latent_dim=8 default but would
+    # throttle wider latents; SliceInterpolationVAE passes max(8, latent_dim)
+    # so the default config stays bit-identical to the reference.
+    bottleneck_channels: int = 8
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -53,8 +58,8 @@ class VideoEncoder(nn.Module):
             h = DownsampleBlock(ch, dtype=self.dtype, name=f"down{i+1}_ds")(h)
         h = Res(ch, dtype=self.dtype, name="mid_res1")(h)
         h = Res(ch, dtype=self.dtype, name="mid_res2")(h)
-        # SD-VAE-style head: 8ch bottleneck then 1x1x1 quant conv (vae.py:132-137)
-        h = Conv3D(8, 3, 1, 1, dtype=self.dtype, name="conv_out")(h)
+        # SD-VAE-style head: bottleneck conv then 1x1x1 quant conv (vae.py:132-137)
+        h = Conv3D(self.bottleneck_channels, 3, 1, 1, dtype=self.dtype, name="conv_out")(h)
         z = Conv3D(self.latent_dim, 1, 1, 0, dtype=self.dtype, name="quant_conv")(h)
         return z
 
@@ -77,13 +82,17 @@ class VideoDecoder(nn.Module):
     dtype: Dtype = jnp.float32
     quant_int8: bool = False
     quant_static: bool = False
+    # Mirrors VideoEncoder.bottleneck_channels (reference hardcodes 8).
+    bottleneck_channels: int = 8
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
         Res = nn.remat(ResBlock3D) if self.use_checkpoint else ResBlock3D
         q = dict(quant=self.quant_int8, quant_static=self.quant_static)
         ch = self.base_channels * (2 ** self.num_up_stages)
-        h = Conv3D(8, 1, 1, 0, dtype=self.dtype, name="post_quant_conv")(z)
+        h = Conv3D(
+            self.bottleneck_channels, 1, 1, 0, dtype=self.dtype, name="post_quant_conv"
+        )(z)
         h = Conv3DBlock(ch, dtype=self.dtype, name="conv_in", **q)(h)
         h = Res(ch, dtype=self.dtype, name="mid_res1", **q)(h)
         h = Res(ch, dtype=self.dtype, name="mid_res2", **q)(h)
@@ -114,12 +123,14 @@ class SliceInterpolationVAE(nn.Module):
     quant_static: bool = False
 
     def setup(self):
+        bottleneck = max(8, self.latent_dim)
         self.encoder = VideoEncoder(
             latent_dim=self.latent_dim,
             base_channels=self.base_channels,
             num_down_stages=self.num_down_stages,
             use_checkpoint=self.use_checkpoint,
             dtype=self.dtype,
+            bottleneck_channels=bottleneck,
         )
         self.decoder = VideoDecoder(
             out_channels=self.in_channels,
@@ -129,6 +140,7 @@ class SliceInterpolationVAE(nn.Module):
             dtype=self.dtype,
             quant_int8=self.quant_dec_int8,
             quant_static=self.quant_static,
+            bottleneck_channels=bottleneck,
         )
 
     def encode(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -113,6 +113,10 @@ class Trainer:
         self.best_loss = float("inf")
         self.best_ckpt_path: Optional[str] = None
         self.current_phase = 1
+        # which weights ('raw'|'ema') scored the last Tier-2 patch_loss —
+        # recorded in checkpoint metadata so eval tooling scores the side
+        # the best checkpoint was actually selected on
+        self._last_best_weights = "raw"
 
     # ------------------------------------------------------------ two-phase
     def set_phase(self, phase: int) -> None:
@@ -290,10 +294,19 @@ class Trainer:
         if self.val_loader is None:
             return {}
         num_samples = num_samples or t.patch_val_samples
-        losses, psnrs, ssims = [], [], []
+        losses, losses_ema, psnrs, ssims = [], [], [], []
         seen = 0
+        ema = self.state.ema_params
         for batch, vkey in self._val_iter(max_batches=num_samples):
-            losses.append(self._eval_loss(self.eval_params, batch, vkey))
+            # Always score the RAW params; score the EMA average too when
+            # enabled. During EMA decay warmup the average can trail the live
+            # weights (docs/RESULTS.md round-2 finding: 11.88 vs 12.97 dB
+            # post-reset), so best-checkpoint selection takes the min of the
+            # two — the saved tree holds both, and metadata records which
+            # side won ('best_weights').
+            losses.append(self._eval_loss(self.state.params, batch, vkey))
+            if ema is not None:
+                losses_ema.append(self._eval_loss(ema, batch, vkey))
             if generate:
                 # staged_generate, NOT a monolithic jit of model.generate:
                 # the fused encode+DDIM+decode program takes tens of minutes
@@ -318,9 +331,20 @@ class Trainer:
             seen += batch["input"].shape[0]
             if seen >= num_samples:
                 break
-        out = {
-            "patch_loss": float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
-        }
+        raw_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+        out = {"patch_loss": raw_loss, "patch_loss_raw": raw_loss}
+        if losses_ema:
+            ema_loss = float(jnp.mean(jnp.stack(losses_ema)))
+            out["patch_loss_ema"] = ema_loss
+            if np.isfinite(ema_loss) and (
+                not np.isfinite(raw_loss) or ema_loss < raw_loss
+            ):
+                out["patch_loss"] = ema_loss
+        self._last_best_weights = (
+            "ema"
+            if losses_ema and out["patch_loss"] == out.get("patch_loss_ema")
+            else "raw"
+        )
         if psnrs:
             out["patch_psnr"] = float(np.mean(psnrs))
             out["patch_ssim"] = float(np.mean(ssims))
@@ -420,6 +444,7 @@ class Trainer:
             "best_loss": self.best_loss,
             "current_phase": self.current_phase,
             "has_ema": self.state.ema_params is not None,
+            "best_weights": self._last_best_weights,
             # UNet Conv3DBlock GroupNorm rule (ops/norm.py). The torch-parity
             # fix switched 128-ch conv blocks from 32 groups (adaptive rule)
             # to the reference's prefer-8 rule; parameter shapes are identical
