@@ -59,10 +59,16 @@ def _discover_cases(input_dir: str) -> list[tuple[str, str]]:
         p = os.path.join(input_dir, name)
         if name.endswith(".npz") and os.path.isfile(p):
             cases.append((name[: -len(".npz")], p))
-        elif os.path.isdir(p) and any(
-            f.endswith(".dcm") for f in os.listdir(p)
-        ):
-            cases.append((name, p))
+        elif os.path.isdir(p):
+            # an unreadable subdirectory must not kill discovery for the
+            # whole batch — skip it loudly (per-case fault isolation)
+            try:
+                has_dcm = any(f.endswith(".dcm") for f in os.listdir(p))
+            except OSError as e:
+                logger.warning("skipping unreadable directory %s: %s", p, e)
+                continue
+            if has_dcm:
+                cases.append((name, p))
     return cases
 
 
@@ -272,34 +278,62 @@ def main(argv=None):
         return out_np, time.time() - t0
 
     def _write_case(case_args, out_np, thickness, output_path, dicom_dir, dt):
+        """Write outputs atomically: everything goes to `.tmp` paths first and
+        is renamed into place only after ALL writes succeed, so a mid-write
+        failure never leaves a partial <case>_thin.npz (or DICOM series) that
+        disagrees with the JSON summary."""
+        import shutil
+
         thin = out_np[0, ..., 0]  # (D_thin, H, W) in [-1, 1]
         os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
-        np.savez_compressed(
-            output_path,
-            volume=thin.astype(np.float16),
-            window_center=case_args.window_center,
-            window_width=case_args.window_width,
-            sampler=args.sampler,
-            steps=args.steps,
-        )
-        logger.info("wrote %s", output_path)
-
-        if dicom_dir:
-            from video_to_video_diffusion_tpu.data.dicom import write_minimal_dicom
-
-            os.makedirs(dicom_dir, exist_ok=True)
-            lo = case_args.window_center - case_args.window_width / 2.0
-            # invert the window: [-1, 1] -> HU
-            hu = (thin + 1.0) / 2.0 * case_args.window_width + lo
-            thin_thickness = thickness / args.ratio if thickness > 0 else 1.0
-            for i in range(hu.shape[0]):
-                write_minimal_dicom(
-                    os.path.join(dicom_dir, f"slice_{i:04d}.dcm"),
-                    hu[i], instance_number=i + 1,
-                    z_position=i * thin_thickness,
-                    slice_thickness=thin_thickness,
+        tmp_npz = output_path + ".tmp"
+        tmp_dicom = dicom_dir.rstrip("/\\") + ".tmp" if dicom_dir else None
+        try:
+            with open(tmp_npz, "wb") as f:
+                np.savez_compressed(
+                    f,
+                    volume=thin.astype(np.float16),
+                    window_center=case_args.window_center,
+                    window_width=case_args.window_width,
+                    sampler=args.sampler,
+                    steps=args.steps,
                 )
-            logger.info("wrote %d DICOM slices to %s", hu.shape[0], dicom_dir)
+            n_dcm = 0
+            if dicom_dir:
+                from video_to_video_diffusion_tpu.data.dicom import (
+                    write_minimal_dicom,
+                )
+
+                shutil.rmtree(tmp_dicom, ignore_errors=True)
+                os.makedirs(tmp_dicom)
+                lo = case_args.window_center - case_args.window_width / 2.0
+                # invert the window: [-1, 1] -> HU
+                hu = (thin + 1.0) / 2.0 * case_args.window_width + lo
+                thin_thickness = thickness / args.ratio if thickness > 0 else 1.0
+                for i in range(hu.shape[0]):
+                    write_minimal_dicom(
+                        os.path.join(tmp_dicom, f"slice_{i:04d}.dcm"),
+                        hu[i], instance_number=i + 1,
+                        z_position=i * thin_thickness,
+                        slice_thickness=thin_thickness,
+                    )
+                n_dcm = hu.shape[0]
+            # commit
+            os.replace(tmp_npz, output_path)
+            if dicom_dir:
+                if os.path.isdir(dicom_dir):
+                    shutil.rmtree(dicom_dir)
+                os.replace(tmp_dicom, dicom_dir)
+        except BaseException:
+            # leave no partial outputs behind on failure
+            if os.path.exists(tmp_npz):
+                os.remove(tmp_npz)
+            if tmp_dicom:
+                shutil.rmtree(tmp_dicom, ignore_errors=True)
+            raise
+        logger.info("wrote %s", output_path)
+        if dicom_dir:
+            logger.info("wrote %d DICOM slices to %s", n_dcm, dicom_dir)
 
         return {
             "output": output_path,
@@ -313,19 +347,27 @@ def main(argv=None):
         }
 
     if cases is not None:
+        import zlib
+
         logger.info("batch mode: %d cases from %s", len(cases), args.input_dir)
         os.makedirs(args.output_dir, exist_ok=True)
         base_key = jax.random.PRNGKey(args.seed)
-        summaries, failures = [], 0
-        for i, (stem, path) in enumerate(cases):
+        summaries, failures, consecutive = [], 0, 0
+        for stem, path in cases:
             # per-case namespace so npz cache-window overrides don't leak
             # into the next case's output metadata
             case_args = argparse.Namespace(**vars(args))
             case_args.input = path
+            # fold in a STABLE per-case value (crc32 of the stem), not the
+            # loop index, so adding/removing a case never changes the other
+            # cases' outputs for the same --seed
+            case_key = jax.random.fold_in(
+                base_key, zlib.crc32(stem.encode("utf-8"))
+            )
             try:
                 v_in, thickness = _load_input(case_args)
                 logger.info("case %s: input volume %s", stem, v_in.shape)
-                out_np, dt = _generate(v_in, jax.random.fold_in(base_key, i))
+                out_np, dt = _generate(v_in, case_key)
                 dicom_dir = (
                     os.path.join(args.dicom_out, stem) if args.dicom_out else None
                 )
@@ -334,12 +376,27 @@ def main(argv=None):
                     os.path.join(args.output_dir, f"{stem}_thin.npz"),
                     dicom_dir, dt,
                 )
+                consecutive = 0
             except (Exception, SystemExit) as e:  # noqa: BLE001 — serving:
                 # report, move on (_load_input raises SystemExit on bad cases)
                 # (reference failure-report pattern,
                 #  slice_interpolation_dataset.py:359-398)
                 logger.error("case %s FAILED: %s", stem, e)
                 s, failures = {"error": str(e)}, failures + 1
+                consecutive += 1
+                # infrastructure failures (TPU tunnel drop / XLA runtime
+                # errors) hit EVERY remaining case — abort instead of
+                # grinding each one through a slow failure
+                mod = type(e).__module__ or ""
+                if mod.startswith(("jaxlib", "jax._src")) or consecutive >= 3:
+                    s["case"] = stem
+                    print(json.dumps(s))
+                    summaries.append(s)
+                    raise SystemExit(
+                        f"aborting batch after {failures} failures "
+                        f"({consecutive} consecutive; last: {type(e).__name__}) "
+                        "— likely a device/backend failure, see log above"
+                    )
             s["case"] = stem
             print(json.dumps(s))
             summaries.append(s)
@@ -357,6 +414,10 @@ def main(argv=None):
             "output_dir": args.output_dir,
         }
         print(json.dumps(agg))
+        if failures:
+            # scripted callers must see a nonzero exit when ANY case failed
+            # (the aggregate above still records the partial successes)
+            raise SystemExit(1)
         return agg
 
     v_in, thickness = _load_input(args)

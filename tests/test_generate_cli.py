@@ -93,10 +93,13 @@ def test_discover_cases(tmp_path):
     assert all(os.path.exists(p) for _, p in cases)
 
 
-def test_batch_mode_end_to_end(tmp_path):
+def test_batch_mode_end_to_end(tmp_path, capsys):
     """Two same-shape npz cases through one process: per-case outputs, one
     compile reused (the second case must not re-trace), per-case JSON lines
-    plus the aggregate, and a failing case reported without killing the run."""
+    plus the aggregate, a failing case reported without killing the run, and
+    a NONZERO exit when any case failed (ADVICE r2)."""
+    import json
+
     import jax
 
     from video_to_video_diffusion_tpu.config import load_config
@@ -121,13 +124,17 @@ def test_batch_mode_end_to_end(tmp_path):
     np.savez(str(cases / "p2_bad.npz"), wrong_key=np.zeros((4, 64, 64)))
 
     out_dir = str(tmp_path / "out")
-    agg = gv.main([
-        "--config", "tiny_test", "--checkpoint", ckpt,
-        "--input-dir", str(cases), "--output-dir", out_dir,
-        "--steps", "2", "--patch", "4", "32", "32",
-        "--target-patch", "8", "32", "32", "--stride", "2", "16", "16",
-        "--vae-batch", "4",
-    ])
+    with pytest.raises(SystemExit) as ei:
+        gv.main([
+            "--config", "tiny_test", "--checkpoint", ckpt,
+            "--input-dir", str(cases), "--output-dir", out_dir,
+            "--steps", "2", "--patch", "4", "32", "32",
+            "--target-patch", "8", "32", "32", "--stride", "2", "16", "16",
+            "--vae-batch", "4",
+        ])
+    assert ei.value.code == 1  # partial failure -> nonzero exit
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    agg = lines[-1]
     assert agg["cases"] == 3 and agg["failed"] == 1
     assert agg["steady_seconds_per_volume"] is not None
     for name in ("p0", "p1"):
