@@ -165,6 +165,11 @@ def main(argv=None):
     ap.add_argument("--stride", type=int, nargs=3, default=[4, 96, 96],
                     metavar=("D", "H", "W"))
     ap.add_argument("--vae-batch", type=int, default=5)
+    ap.add_argument("--depth-bucket", type=int, default=None,
+                    help="edge-pad input depth to a multiple of this before "
+                         "stitching so variable-depth series reuse one "
+                         "compiled pipeline (output trimmed back); use the "
+                         "patch depth, e.g. 8")
     ap.add_argument("--mesh", action="store_true",
                     help="fan the patch grid over all visible devices")
     ap.add_argument("--output", default="generated_volume.npz")
@@ -246,12 +251,19 @@ def main(argv=None):
     def _generate(v_in: np.ndarray, key) -> tuple[np.ndarray, float]:
         t0 = time.time()
         if mesh is not None:
+            from video_to_video_diffusion_tpu.inference.pipeline import (
+                pad_depth_to_bucket,
+            )
             from video_to_video_diffusion_tpu.parallel.stitching import (
                 sample_with_stitching_sharded,
             )
 
+            v_dev = jnp.asarray(v_in)
+            d_orig = v_dev.shape[1]
+            if args.depth_bucket:
+                v_dev, d_orig = pad_depth_to_bucket(v_dev, args.depth_bucket)
             out = sample_with_stitching_sharded(
-                model, params, mesh, jnp.asarray(v_in), key,
+                model, params, mesh, v_dev, key,
                 num_inference_steps=args.steps,
                 patch_size=tuple(args.patch),
                 target_patch_size=tuple(args.target_patch),
@@ -259,6 +271,7 @@ def main(argv=None):
                 sampler=args.sampler, eta=args.eta,
                 quant=args.quant, quant_vae=args.quant_vae,
             )
+            out = out[:, : d_orig * args.ratio]
         else:
             from video_to_video_diffusion_tpu.inference.pipeline import (
                 generate_volume,
@@ -273,6 +286,7 @@ def main(argv=None):
                 vae_batch=args.vae_batch,
                 eta=args.eta, sampler=args.sampler,
                 quant=args.quant, quant_vae=args.quant_vae,
+                depth_bucket=args.depth_bucket,
             )
         out_np = np.asarray(out, np.float32)  # host readback = sync
         return out_np, time.time() - t0

@@ -358,6 +358,27 @@ def staged_generate(
     return jnp.nan_to_num(out, posinf=1.0, neginf=-1.0)
 
 
+def pad_depth_to_bucket(
+    v: jnp.ndarray, bucket: int
+) -> Tuple[jnp.ndarray, int]:
+    """Edge-replicate-pad (B, D, H, W, C) along depth to a multiple of `bucket`.
+
+    Every distinct input depth is a distinct stitch grid and therefore a
+    distinct set of stage-jit shapes — minutes of compile each through a
+    remote-TPU tunnel on real variable-depth series (VERDICT r2 weak #5).
+    Padding to a small set of bucketed depths caps the number of compiled
+    programs; callers trim the generated output back to
+    original_depth * depth_ratio. Returns (padded, original_depth).
+    """
+    D = int(v.shape[1])
+    Dp = -(-D // bucket) * bucket
+    if Dp == D:
+        return v, D
+    pad = [(0, 0)] * v.ndim
+    pad[1] = (0, Dp - D)
+    return jnp.pad(v, pad, mode="edge"), D
+
+
 def generate_volume(
     model,
     params,
@@ -373,6 +394,7 @@ def generate_volume(
     quant: Optional[str] = None,
     quant_vae: Optional[str] = None,
     stage_times: Optional[dict] = None,
+    depth_bucket: Optional[int] = None,
 ) -> jnp.ndarray:
     """Full thick->thin volume generation, pipelined.
 
@@ -395,9 +417,16 @@ def generate_volume(
         instrumentation runs (bench.py per-stage breakdown), never on the
         timed headline run.
 
+      depth_bucket: when set, edge-pad the thick depth to the next multiple
+        (pad_depth_to_bucket) so variable-depth patients share compiled
+        stage programs; the output is trimmed back to the true thin depth.
+
     Returns (1, D_thick * ratio, H, W, C) f32.
     """
     assert v_thick_full.shape[0] == 1
+    d_orig = int(v_thick_full.shape[1])
+    if depth_bucket:
+        v_thick_full, d_orig = pad_depth_to_bucket(v_thick_full, depth_bucket)
     _, D_thick, H_full, W_full, C = v_thick_full.shape
     pd, ph, pw = patch_size
     td, th, tw = target_patch_size
@@ -466,6 +495,8 @@ def generate_volume(
     wmap = jnp.zeros((1, D_thin, H_full, W_full, C), jnp.float32)
     acc, wmap = _blend(acc, wmap, thin, coords[:N], (td, th, tw, C, ratio))
     out = acc / (wmap + 1e-8)
+    if depth_bucket and d_orig * ratio != D_thin:
+        out = out[:, : d_orig * ratio]
     _mark("blend", out, t0)
     return out
 

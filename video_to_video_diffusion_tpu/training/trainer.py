@@ -362,7 +362,10 @@ class Trainer:
         parallel.stitching.sample_with_stitching_sharded (each sliding-window
         patch is an independent DDIM sample — embarrassingly parallel).
         """
-        from video_to_video_diffusion_tpu.inference.pipeline import generate_volume
+        from video_to_video_diffusion_tpu.inference.pipeline import (
+            generate_volume,
+            pad_depth_to_bucket,
+        )
 
         t = self.config.training
         d = self.config.data
@@ -386,7 +389,14 @@ class Trainer:
                 thick = jnp.asarray(batch["input"][b : b + 1])
                 n_thick = int(batch["thick_mask"][b].sum()) if "thick_mask" in batch else thick.shape[1]
                 n_thin = int(batch["thin_mask"][b].sum()) if "thin_mask" in batch else batch["target"].shape[1]
-                thick = thick[:, :n_thick]
+                # Depth-bucket to multiples of the patch depth so every
+                # distinct patient depth does NOT compile its own stage
+                # programs (minutes each over a remote tunnel); the padded
+                # tail is trimmed from the stitched output below.
+                thick, d_orig = pad_depth_to_bucket(
+                    thick[:, :n_thick], d.patch_depth_thick
+                )
+                ratio = d.patch_depth_thin // max(d.patch_depth_thick, 1)
                 if self.mesh is not None:
                     from video_to_video_diffusion_tpu.parallel.stitching import (
                         sample_with_stitching_sharded,
@@ -401,6 +411,7 @@ class Trainer:
                         self.model, self.eval_params, thick,
                         self._next_key(), **patch_kw,
                     )
+                out = out[:, : d_orig * ratio]  # trim depth-bucket padding
                 target = batch["target"][b : b + 1, : out.shape[1]]
                 n = min(n_thin, out.shape[1])
                 m = calculate_video_metrics(
