@@ -1,0 +1,195 @@
+"""Held-out full-volume generation eval vs the trivial + oracle baselines.
+
+The decisive quality measurement (VERDICT r2 item 1): for every held-out
+patient of the synthetic cache, generate the full thin volume from the thick
+input through the production stitched pipeline and score PSNR/SSIM against
+the noisy thin target — next to, ON THE SAME VOLUMES:
+
+  trilinear  the thick volume trilinearly depth-upsampled (naive baseline —
+             the number the generative path must beat)
+  oracle     the clean thin signal (the noise-imposed ceiling; needs the
+             cache's synthetic seeds, --oracle)
+
+Geometry note: the patch pipeline conditions on thick sub-stacks resampled
+so patch_depth_thick slices span each patch_depth_thin window
+(data/datasets.py extract_random_patch), so the thick volume is first
+depth-resampled to ceil(D_thin / ratio) slices — generating straight from a
+5x-ratio source with the 6x patch geometry would stretch the output depth.
+
+Usage:
+  python scripts/evaluate_full_volumes.py --config config/runs/diff_q3.yaml \
+      --checkpoint <ckpt> [--split test] [--num-samples 8] [--steps 50] \
+      [--params auto|ema|raw] [--quant int8|int8_static] [--oracle] \
+      [--output full_vol_eval]
+Prints one JSON summary line and writes <output>.json with per-case rows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from video_to_video_diffusion_tpu.utils.logger import setup_logger
+
+logger = setup_logger("evaluate_full_volumes")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--split", default="test")
+    ap.add_argument("--num-samples", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--eta", type=float, default=0.0)
+    ap.add_argument("--sampler", default="ddim", choices=["ddim", "ddpm", "edm"])
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--params", default="auto", choices=["auto", "ema", "raw"])
+    ap.add_argument("--quant", default=None, choices=["int8", "int8_static"])
+    ap.add_argument("--quant-vae", default=None, choices=["int8"])
+    ap.add_argument("--vae-batch", type=int, default=5)
+    ap.add_argument("--oracle", action="store_true",
+                    help="also score the clean signal (synthetic cache only)")
+    ap.add_argument("--output", default="full_vol_eval")
+    args = ap.parse_args(argv)
+
+    from video_to_video_diffusion_tpu.config import load_config
+
+    cfg = load_config(args.config)
+    from video_to_video_diffusion_tpu.utils.platform import (
+        configure_platform,
+        enable_compilation_cache,
+    )
+
+    configure_platform(cfg.hardware.device)
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from video_to_video_diffusion_tpu.data.datasets import SliceInterpolationDataset
+    from video_to_video_diffusion_tpu.data.windowing import (
+        from_model_range,
+        linear_resample_depth,
+    )
+    from video_to_video_diffusion_tpu.inference.pipeline import generate_volume
+    from video_to_video_diffusion_tpu.models.model import VideoToVideoDiffusion
+    from video_to_video_diffusion_tpu.ops.resize import resize_trilinear
+    from video_to_video_diffusion_tpu.utils.checkpoint import load_checkpoint
+    from video_to_video_diffusion_tpu.utils.metrics import calculate_video_metrics
+
+    d = cfg.data
+    ds = SliceInterpolationDataset(cfg, args.split)
+    if len(ds) == 0:
+        raise SystemExit(f"split {args.split!r} is empty")
+    model = VideoToVideoDiffusion(cfg)
+    restored, meta = load_checkpoint(args.checkpoint)
+    use_ema = args.params == "ema" or (
+        args.params == "auto"
+        and restored.get("ema_params") is not None
+        and meta.get("best_weights", "ema") == "ema"
+    )
+    if args.params == "ema" and restored.get("ema_params") is None:
+        raise SystemExit("--params ema: checkpoint has no ema_params")
+    params = restored["ema_params"] if use_ema else restored["params"]
+    logger.info("scoring %s weights from %s", "ema" if use_ema else "raw",
+                args.checkpoint)
+
+    ratio = d.patch_depth_thin // max(d.patch_depth_thick, 1)
+    key = jax.random.PRNGKey(args.seed)
+    rows = []
+    for i in range(min(args.num_samples, len(ds))):
+        sample = ds[i]
+        thick = np.asarray(sample["input"], np.float32)  # (Dk, H, W, 1)
+        thin = np.asarray(sample["target"], np.float32)  # (Dn, H, W, 1)
+        D_thin = thin.shape[0]
+        want_thick = -(-D_thin // ratio)
+        thick_rs = linear_resample_depth(thick, want_thick)
+        out = generate_volume(
+            model, params, jnp.asarray(thick_rs)[None],
+            jax.random.fold_in(key, i),
+            num_inference_steps=args.steps,
+            patch_size=(d.patch_depth_thick, *d.patch_size),
+            target_patch_size=(d.patch_depth_thin, *d.patch_size),
+            stride=(
+                max(d.patch_depth_thick // 2, 1),
+                d.patch_size[0] // 2,
+                d.patch_size[1] // 2,
+            ),
+            vae_batch=args.vae_batch, eta=args.eta, sampler=args.sampler,
+            quant=args.quant, quant_vae=args.quant_vae,
+            depth_bucket=d.patch_depth_thick,
+        )
+        gen = np.asarray(out, np.float32)[0, :D_thin]
+        tgt01 = from_model_range(thin[None])
+        m_gen = calculate_video_metrics(from_model_range(gen[None]), tgt01)
+
+        tri = np.asarray(
+            resize_trilinear(
+                jnp.asarray(thick)[None], (D_thin, thin.shape[1], thin.shape[2])
+            )
+        )[0]
+        m_tri = calculate_video_metrics(from_model_range(tri[None]), tgt01)
+
+        row = {
+            "case": sample["patient_id"],
+            "gen_psnr": m_gen["psnr"], "gen_ssim": m_gen["ssim"],
+            "trilinear_psnr": m_tri["psnr"], "trilinear_ssim": m_tri["ssim"],
+        }
+        if args.oracle and sample["patient_id"].startswith("SYN__"):
+            from video_to_video_diffusion_tpu.data.synthetic import (
+                synthetic_patient_pair,
+            )
+            from video_to_video_diffusion_tpu.data.windowing import (
+                apply_ct_windowing,
+            )
+
+            idx = int(sample["patient_id"].split("__")[1])
+            _, clean_hu = synthetic_patient_pair(
+                d.seed + idx, thin_depth=d.synthetic_thin_depth,
+                height=d.synthetic_height, width=d.synthetic_width,
+                noise_sigma=0.0,
+            )
+            clean = apply_ct_windowing(
+                clean_hu, d.window_center, d.window_width, pm1=True
+            )[..., None].astype(np.float32)
+            m_or = calculate_video_metrics(from_model_range(clean[None]), tgt01)
+            row["oracle_psnr"] = m_or["psnr"]
+            row["oracle_ssim"] = m_or["ssim"]
+        rows.append(row)
+        logger.info("case %s: %s", row["case"],
+                    {k: round(v, 3) for k, v in row.items() if k != "case"})
+
+    def _mean(k):
+        vals = [r[k] for r in rows if k in r]
+        return round(float(np.mean(vals)), 3) if vals else None
+
+    summary = {
+        "split": args.split, "num_samples": len(rows),
+        "steps": args.steps, "sampler": args.sampler,
+        "params": "ema" if use_ema else "raw",
+        "quant": args.quant, "quant_vae": args.quant_vae,
+        "gen_psnr_mean": _mean("gen_psnr"), "gen_ssim_mean": _mean("gen_ssim"),
+        "trilinear_psnr_mean": _mean("trilinear_psnr"),
+        "trilinear_ssim_mean": _mean("trilinear_ssim"),
+        "oracle_psnr_mean": _mean("oracle_psnr"),
+        "oracle_ssim_mean": _mean("oracle_ssim"),
+        "beats_trilinear": bool(
+            (_mean("gen_psnr") or 0) > (_mean("trilinear_psnr") or float("inf"))
+        ),
+    }
+    os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+    with open(args.output + ".json", "w") as f:
+        json.dump({"summary": summary, "per_case": rows}, f, indent=2)
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

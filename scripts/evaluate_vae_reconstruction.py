@@ -36,6 +36,10 @@ def main(argv=None):
     ap.add_argument("--config", default="vae_training")
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--split", default="val")
+    ap.add_argument("--slice-type", default="thin", choices=["thin", "thick"],
+                    help="evaluate thin (target) or thick (input) slices — "
+                         "the reference's VAE eval job runs both "
+                         "(kub_files/vae-evaluation-job.yaml:52-79)")
     ap.add_argument("--num-samples", type=int, default=50)
     ap.add_argument("--output", default="vae_eval")
     ap.add_argument("--viz-dir", default=None)
@@ -58,10 +62,11 @@ def main(argv=None):
     recon_fn = jax.jit(lambda x: vae.apply({"params": params}, x)[0])
 
     loader = get_unified_dataloader(cfg, args.split)
+    batch_key = "target" if args.slice_type == "thin" else "input"
     rows = []
     seen = 0
     for batch in loader:
-        x = jnp.asarray(batch["target"])
+        x = jnp.asarray(batch[batch_key])
         recon = np.asarray(recon_fn(x))
         for b in range(x.shape[0]):
             mm = calculate_video_metrics(

@@ -144,9 +144,31 @@ def test_autoencoder_loss_gating():
     assert float(l_on) > float(l_off)
 
 
-def test_combined_loss_rejects_perceptual():
-    with pytest.raises(NotImplementedError):
-        CombinedLoss(use_perceptual=True)
+def test_combined_loss_perceptual_term_additive_and_gated():
+    """CombinedLoss adds lambda_p * VGG-feature loss on gated steps
+    (reference models/losses.py:345-348) while SSIM keeps its convex form."""
+    import jax
+    import jax.numpy as jnp
+
+    calls = []
+
+    class FakePerceptual:
+        def __call__(self, pred, target):
+            calls.append(1)
+            return jnp.float32(2.0)
+
+    crit = CombinedLoss(
+        lambda_ssim=0.0, perceptual=FakePerceptual(),
+        lambda_perceptual=0.5, perceptual_every_n_steps=2,
+    )
+    diff = jnp.float32(1.0)
+    pred = jnp.zeros((1, 2, 8, 8, 1))
+    tgt = jnp.ones((1, 2, 8, 8, 1))
+    l_on, aux_on = crit(diff, jnp.asarray(0), decoded_fn=lambda: (pred, tgt))
+    l_off, aux_off = crit(diff, jnp.asarray(1), decoded_fn=lambda: (pred, tgt))
+    assert float(l_on) == 1.0 + 0.5 * 2.0
+    assert float(l_off) == 1.0
+    assert float(aux_on["perceptual_loss"]) == 2.0
 
 
 def test_profiler_noop():

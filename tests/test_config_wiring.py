@@ -77,8 +77,8 @@ class TestLossesSection:
         expect = 0.7 * float(l_base) + 0.3 * float(m_on["ms_ssim_loss"])
         np.testing.assert_allclose(float(l_on), expect, rtol=1e-5)
 
-    def test_perceptual_rejected(self):
-        with pytest.raises(NotImplementedError):
+    def test_perceptual_requires_weights_path(self):
+        with pytest.raises(ValueError, match="perceptual_weights_path"):
             VideoToVideoDiffusion(
                 _tiny(losses={"use_perceptual_loss": True, "lambda_perceptual": 0.1})
             )
@@ -234,11 +234,11 @@ class TestHardwareKnobs:
         with pytest.raises(AssertionError):
             make_mesh(tensor_parallel=8, data_parallel=2)  # 16 > 8 devices
 
-    def test_use_lpips_rejected(self, tmp_path):
+    def test_use_lpips_requires_weights_path(self, tmp_path):
         from video_to_video_diffusion_tpu.training.train_vae import VAETrainer
 
-        cfg = _tiny(training={"use_lpips": True})
-        with pytest.raises(NotImplementedError):
+        cfg = _tiny(training={"use_lpips": True, "lpips_weight": 0.1})
+        with pytest.raises(ValueError, match="perceptual_weights_path"):
             VAETrainer(cfg)
 
 

@@ -1,0 +1,182 @@
+"""VGG19 perceptual loss: numerical parity vs a live torch VGG19 stack with
+random weights (torchvision itself is unavailable; the torch side replicates
+torchvision.models.vgg19().features layer-for-layer, which is also what the
+converter's key format targets). Reference semantics: models/losses.py:22-146."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from video_to_video_diffusion_tpu.models.perceptual import (
+    DEFAULT_FEATURE_LAYERS,
+    VGG19Features,
+    VGGPerceptualLoss,
+    convert_torch_vgg19_state_dict,
+    load_vgg19_params,
+    save_vgg19_params,
+    _VGG19_CFG,
+)
+
+torch = pytest.importorskip("torch")
+
+
+def _torch_vgg19_features():
+    """torchvision.models.vgg19().features, reconstructed (same indices)."""
+    import torch.nn as tnn
+
+    layers, in_c = [], 3
+    for c in _VGG19_CFG:
+        if c == "M":
+            layers.append(tnn.MaxPool2d(2, 2))
+        else:
+            layers.append(tnn.Conv2d(in_c, c, 3, padding=1))
+            layers.append(tnn.ReLU(inplace=False))
+            in_c = c
+    return tnn.Sequential(*layers)
+
+
+@pytest.fixture(scope="module")
+def vgg_pair():
+    torch.manual_seed(0)
+    tvgg = _torch_vgg19_features().eval()
+    # scale weights down so 16 stacked random convs don't overflow
+    with torch.no_grad():
+        for m in tvgg:
+            if hasattr(m, "weight"):
+                m.weight *= 0.1
+    sd = {f"features.{k}": v.numpy() for k, v in tvgg.state_dict().items()}
+    params = convert_torch_vgg19_state_dict(sd)
+    return tvgg, params
+
+
+def test_feature_parity_vs_torch(vgg_pair):
+    tvgg, params = vgg_pair
+    x = np.random.default_rng(1).normal(size=(2, 3, 32, 32)).astype(np.float32)
+
+    # torch features via the reference's block slicing (vgg[prev:idx+1])
+    t_feats, prev = [], 0
+    h = torch.from_numpy(x)
+    with torch.no_grad():
+        for idx in DEFAULT_FEATURE_LAYERS:
+            h = tvgg[prev : idx + 1](h)
+            t_feats.append(h.numpy())
+            prev = idx + 1
+
+    j_feats = VGG19Features().apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+    )
+    assert len(j_feats) == len(t_feats)
+    for jf, tf in zip(j_feats, t_feats):
+        np.testing.assert_allclose(
+            np.asarray(jf), tf.transpose(0, 2, 3, 1), atol=2e-4, rtol=1e-3
+        )
+
+
+def test_loss_parity_vs_torch_reference_semantics(vgg_pair):
+    """Full loss vs a torch re-implementation of the reference forward:
+    slice sampling, [-1,1]->[0,1], RGB repeat, ImageNet norm, mean-of-L1s."""
+    tvgg, params = vgg_pair
+    rng = np.random.default_rng(2)
+    pred = rng.uniform(-1, 1, size=(1, 10, 32, 32, 1)).astype(np.float32)
+    tgt = rng.uniform(-1, 1, size=(1, 10, 32, 32, 1)).astype(np.float32)
+
+    def torch_loss(p, t):
+        def prep(v):  # (B, D, H, W, 1) -> (B*Ds, 3, H, W) normalized
+            v = torch.from_numpy(v[..., 0])  # (B, D, H, W)
+            B, D, H, W = v.shape
+            n = max(1, int(D * 0.2))
+            idx = torch.linspace(0, D - 1, n, dtype=torch.long)
+            v = v[:, idx].reshape(-1, 1, H, W)
+            v = (v + 1.0) / 2.0
+            v = v.repeat(1, 3, 1, 1)
+            mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+            std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+            return (v - mean) / std
+
+        with torch.no_grad():
+            loss, prev = 0.0, 0
+            hp, ht = prep(p), prep(t)
+            for idx in DEFAULT_FEATURE_LAYERS:
+                hp = tvgg[prev : idx + 1](hp)
+                ht = tvgg[prev : idx + 1](ht)
+                loss = loss + torch.nn.functional.l1_loss(hp, ht)
+                prev = idx + 1
+        return float(loss) / len(DEFAULT_FEATURE_LAYERS)
+
+    jl = VGGPerceptualLoss(jax.tree_util.tree_map(jnp.asarray, params))
+    np.testing.assert_allclose(
+        float(jl(jnp.asarray(pred), jnp.asarray(tgt))),
+        torch_loss(pred, tgt),
+        rtol=2e-3,
+    )
+
+
+def test_save_load_roundtrip(vgg_pair, tmp_path):
+    _, params = vgg_pair
+    path = str(tmp_path / "vgg.npz")
+    save_vgg19_params(path, params)
+    loaded = load_vgg19_params(path)
+    assert set(loaded) == set(params)
+    for conv in params:
+        np.testing.assert_array_equal(
+            np.asarray(loaded[conv]["kernel"]), params[conv]["kernel"]
+        )
+
+
+def test_perceptual_loss_is_differentiable_and_zero_on_identical(vgg_pair):
+    _, params = vgg_pair
+    jl = VGGPerceptualLoss(jax.tree_util.tree_map(jnp.asarray, params))
+    x = jnp.asarray(
+        np.random.default_rng(3).uniform(-1, 1, size=(1, 5, 32, 32, 1)),
+        jnp.float32,
+    )
+    assert float(jl(x, x)) == 0.0
+    g = jax.grad(lambda p: jl(p, x * 0.5))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0.0
+
+
+def test_wires_into_model_and_vae_trainer(vgg_pair, tmp_path):
+    """losses.use_perceptual_loss / training.use_lpips accept a converted
+    weights file and produce a finite gated loss end-to-end."""
+    from video_to_video_diffusion_tpu.config import load_config
+    from video_to_video_diffusion_tpu.models.model import VideoToVideoDiffusion
+
+    _, params = vgg_pair
+    path = str(tmp_path / "vgg.npz")
+    save_vgg19_params(path, params)
+
+    base = load_config("tiny_test").to_dict()
+    base["losses"] = {
+        "use_perceptual_loss": True,
+        "lambda_perceptual": 0.1,
+        "perceptual_every_n_steps": 1,
+        "perceptual_weights_path": path,
+    }
+    model = VideoToVideoDiffusion(base)
+    mp = model.init(jax.random.PRNGKey(0), patch_shape=(4, 32, 32), batch=1)
+    k = jax.random.PRNGKey(1)
+    v_in = jax.random.uniform(k, (1, 4, 32, 32, 1), jnp.float32, -1, 1)
+    v_gt = jax.random.uniform(k, (1, 4, 32, 32, 1), jnp.float32, -1, 1)
+    loss, metrics = model.loss_fn(mp, v_in, v_gt, k, step=jnp.int32(0))
+    assert np.isfinite(float(loss))
+    assert float(metrics["perceptual_loss"]) > 0.0
+
+    from video_to_video_diffusion_tpu.models.losses import AutoencoderLoss
+    from video_to_video_diffusion_tpu.models.perceptual import (
+        VGGPerceptualLoss as VPL,
+    )
+
+    crit = AutoencoderLoss(
+        perceptual=VPL(load_vgg19_params(path)),
+        perceptual_weight=0.1,
+        perceptual_every_n_steps=1,
+    )
+    recon = jax.random.uniform(
+        jax.random.PRNGKey(9), (1, 4, 32, 32, 1), jnp.float32, -1, 1
+    )
+    total, aux = crit(recon, v_gt, jnp.asarray(0))
+    assert float(aux["perceptual_loss"]) > 0.0
+    assert np.isfinite(float(total))

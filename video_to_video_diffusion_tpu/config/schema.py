@@ -259,6 +259,10 @@ class LossConfig:
     use_perceptual_loss: bool = False
     lambda_perceptual: float = 0.0
     perceptual_every_n_steps: int = 10
+    # Converted VGG19 weights (.npz from scripts/convert_vgg_weights.py).
+    # Required when use_perceptual_loss (or the VAE trainer's use_lpips) is
+    # on: the egress-less TPU host cannot download torchvision weights.
+    perceptual_weights_path: str = ""
     use_ms_ssim_loss: bool = False
     lambda_ssim: float = 0.0
     ssim_every_n_steps: int = 10

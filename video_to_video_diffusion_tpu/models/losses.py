@@ -104,11 +104,14 @@ def ms_ssim_video(
 
 
 class AutoencoderLoss:
-    """VAE reconstruction loss: MSE + optional mid-slice SSIM term.
+    """VAE reconstruction loss: MSE + optional mid-slice SSIM/perceptual terms.
 
-    Reference training/train_vae.py:42-169: MSE always; SSIM-loss on the
-    middle slice gated every N steps; everything reduced in f32. (The LPIPS
-    term is unavailable on the TPU path — see module docstring.)
+    Reference training/train_vae.py:42-169: MSE always; SSIM-loss and LPIPS
+    on the middle slice gated every N steps; everything reduced in f32. The
+    TPU-side perceptual term substitutes the VGG19 feature-L1 of
+    models/perceptual.py for LPIPS (same backbone family; LPIPS's learned
+    per-layer linear weights are the documented delta) — pass a constructed
+    VGGPerceptualLoss as `perceptual`.
     """
 
     def __init__(
@@ -117,11 +120,17 @@ class AutoencoderLoss:
         ssim_weight: float = 0.1,
         every_n_steps: int = 1,
         max_val_range: float = 2.0,  # data lives in [-1, 1]
+        perceptual=None,
+        perceptual_weight: float = 0.0,
+        perceptual_every_n_steps: int = 10,
     ):
         self.use_ssim = use_ssim
         self.ssim_weight = float(ssim_weight)
         self.every_n = max(int(every_n_steps), 1)
         self.max_val = float(max_val_range)
+        self.perceptual = perceptual
+        self.perceptual_weight = float(perceptual_weight)
+        self.perc_every_n = max(int(perceptual_every_n_steps), 1)
 
     def __call__(
         self, recon: jnp.ndarray, target: jnp.ndarray, step: jnp.ndarray
@@ -143,6 +152,18 @@ class AutoencoderLoss:
             ssim_l = lax.cond(gate, with_ssim, lambda _: jnp.float32(0.0), None)
             total = total + self.ssim_weight * ssim_l
             aux["ssim_loss"] = ssim_l
+        if self.perceptual is not None and self.perceptual_weight > 0:
+            # middle-slice perceptual term, gated (reference
+            # train_vae.py:76-96,141-148)
+            def with_perc(_):
+                return jnp.float32(
+                    self.perceptual.middle_slice_loss(recon32, target32)
+                )
+
+            gate_p = (step % self.perc_every_n) == 0
+            perc_l = lax.cond(gate_p, with_perc, lambda _: jnp.float32(0.0), None)
+            total = total + self.perceptual_weight * perc_l
+            aux["perceptual_loss"] = perc_l
         aux["total"] = total
         return total, aux
 
@@ -150,11 +171,15 @@ class AutoencoderLoss:
 class CombinedLoss:
     """Weighted diffusion + aux loss combinator (reference models/losses.py:279-361).
 
-    On gated steps the total follows the reference's convex combination
-    (models/diffusion.py:233-236): total = (1-λ)·diffusion + λ·(1-MS-SSIM);
-    ungated steps keep the plain diffusion objective at full scale (the
-    every-N gating of reference models/losses.py:343-357). Perceptual (VGG)
-    is not available on-TPU and is rejected if requested.
+    On gated steps the MS-SSIM term follows the reference's convex
+    combination (models/diffusion.py:233-236):
+    total = (1-λ)·diffusion + λ·(1-MS-SSIM); the VGG perceptual term is
+    additive like the reference CombinedLoss (models/losses.py:345-348:
+    total += λp·perceptual). Ungated steps keep the plain diffusion
+    objective at full scale (the every-N gating of reference
+    models/losses.py:343-357). Pass a constructed
+    models.perceptual.VGGPerceptualLoss to enable the perceptual term
+    (weights must be converted offline — scripts/convert_vgg_weights.py).
 
     Divergence, deliberate: the reference decodes the predicted z₀ under
     ``torch.no_grad()`` (models/diffusion.py:212-214), which detaches the
@@ -168,15 +193,15 @@ class CombinedLoss:
         self,
         lambda_ssim: float = 0.0,
         ssim_every_n_steps: int = 10,
-        use_perceptual: bool = False,
+        perceptual=None,
+        lambda_perceptual: float = 0.0,
+        perceptual_every_n_steps: int = 10,
     ):
-        if use_perceptual:
-            raise NotImplementedError(
-                "VGG perceptual loss requires a pretrained torch CNN and is not "
-                "available on the TPU path (reference default configs disable it)"
-            )
         self.lambda_ssim = float(lambda_ssim)
         self.every_n = max(int(ssim_every_n_steps), 1)
+        self.perceptual = perceptual
+        self.lambda_perceptual = float(lambda_perceptual)
+        self.perc_every_n = max(int(perceptual_every_n_steps), 1)
 
     def __call__(
         self,
@@ -193,22 +218,44 @@ class CombinedLoss:
         aux = {"diffusion": diffusion_loss}
         total = diffusion_loss
         have_decoded = decoded_fn is not None or decoded_pred is not None
-        if self.lambda_ssim > 0 and have_decoded:
-            def with_ssim(_):
+        use_ssim = self.lambda_ssim > 0
+        use_perc = self.perceptual is not None and self.lambda_perceptual > 0
+        if have_decoded and (use_ssim or use_perc):
+            false = jnp.asarray(False)
+            gate_s = ((step % self.every_n) == 0) if use_ssim else false
+            gate_p = ((step % self.perc_every_n) == 0) if use_perc else false
+
+            def with_aux(_):
+                # one decode shared by both terms; value-gated below, so a
+                # step where only one gate fires still pays both reductions
+                # (cheap next to the decode) but weights the other at 0
                 if decoded_fn is not None:
                     pred, target = decoded_fn()
                 else:
                     pred, target = decoded_pred, decoded_target
-                return 1.0 - ms_ssim_video(
-                    (pred.astype(jnp.float32) + 1.0) / 2.0,
-                    (target.astype(jnp.float32) + 1.0) / 2.0,
-                    max_val=1.0,
+                ssim_l = (
+                    1.0 - ms_ssim_video(
+                        (pred.astype(jnp.float32) + 1.0) / 2.0,
+                        (target.astype(jnp.float32) + 1.0) / 2.0,
+                        max_val=1.0,
+                    )
+                    if use_ssim else jnp.float32(0.0)
                 )
+                perc_l = (
+                    self.perceptual(pred, target) if use_perc else jnp.float32(0.0)
+                )
+                return jnp.float32(ssim_l), jnp.float32(perc_l)
 
-            gate = (step % self.every_n) == 0
-            ssim_l = lax.cond(gate, with_ssim, lambda _: jnp.float32(0.0), None)
-            lam = jnp.where(gate, jnp.float32(self.lambda_ssim), jnp.float32(0.0))
-            total = (1.0 - lam) * diffusion_loss + lam * ssim_l
-            aux["ms_ssim_loss"] = ssim_l
+            ssim_l, perc_l = lax.cond(
+                jnp.logical_or(gate_s, gate_p), with_aux,
+                lambda _: (jnp.float32(0.0), jnp.float32(0.0)), None,
+            )
+            lam_s = jnp.where(gate_s, jnp.float32(self.lambda_ssim), 0.0)
+            lam_p = jnp.where(gate_p, jnp.float32(self.lambda_perceptual), 0.0)
+            total = (1.0 - lam_s) * diffusion_loss + lam_s * ssim_l + lam_p * perc_l
+            if use_ssim:
+                aux["ms_ssim_loss"] = ssim_l
+            if use_perc:
+                aux["perceptual_loss"] = perc_l
         aux["total"] = total
         return total, aux

@@ -119,19 +119,35 @@ class VideoToVideoDiffusion:
                 "never honors false either, models/model.py:213-220)"
             )
         self.combined_loss = None
-        if lc.use_perceptual_loss:
-            raise NotImplementedError(
-                "losses.use_perceptual_loss requires a pretrained torch VGG and "
-                "is not available on the TPU path (reference default configs "
-                f"disable it; requested lambda_perceptual={lc.lambda_perceptual} "
-                f"every {lc.perceptual_every_n_steps} steps)"
+        perceptual = None
+        use_perc = lc.use_perceptual_loss and lc.lambda_perceptual > 0
+        if use_perc:
+            # VGG19 feature loss (models/perceptual.py; reference
+            # models/losses.py:22-146). Weights must be converted offline —
+            # the TPU host cannot download torchvision checkpoints.
+            if not lc.perceptual_weights_path:
+                raise ValueError(
+                    "losses.use_perceptual_loss needs "
+                    "losses.perceptual_weights_path pointing at converted "
+                    "VGG19 weights (scripts/convert_vgg_weights.py)"
+                )
+            from video_to_video_diffusion_tpu.models.perceptual import (
+                VGGPerceptualLoss,
+                load_vgg19_params,
             )
-        if lc.use_ms_ssim_loss and lc.lambda_ssim > 0:
+
+            perceptual = VGGPerceptualLoss(
+                load_vgg19_params(lc.perceptual_weights_path)
+            )
+        if (lc.use_ms_ssim_loss and lc.lambda_ssim > 0) or use_perc:
             from video_to_video_diffusion_tpu.models.losses import CombinedLoss
 
             self.combined_loss = CombinedLoss(
-                lambda_ssim=lc.lambda_ssim,
+                lambda_ssim=lc.lambda_ssim if lc.use_ms_ssim_loss else 0.0,
                 ssim_every_n_steps=lc.ssim_every_n_steps,
+                perceptual=perceptual,
+                lambda_perceptual=lc.lambda_perceptual if use_perc else 0.0,
+                perceptual_every_n_steps=lc.perceptual_every_n_steps,
             )
 
     # ------------------------------------------------------------------ init

@@ -62,17 +62,32 @@ class VAETrainer:
 
         self.vae = _make_vae(policy.compute_dtype)
         self.vae_f32 = _make_vae(jnp.float32)
+        perceptual = None
         if t.use_lpips or t.lpips_weight > 0:
-            raise NotImplementedError(
-                "training.use_lpips: LPIPS needs a pretrained torch VGG and is "
-                "not available on the TPU path (the reference default configs "
-                "ship with it off, config/vae_training.yaml); use "
-                "training.use_ssim_loss instead"
+            # TPU substitute for the reference's lpips.LPIPS(net='vgg')
+            # (train_vae.py:56-96): VGG19 feature-L1 on the middle slice
+            # (models/perceptual.py; weights converted offline).
+            path = self.config.losses.perceptual_weights_path
+            if not path:
+                raise ValueError(
+                    "training.use_lpips needs losses.perceptual_weights_path "
+                    "pointing at converted VGG19 weights "
+                    "(scripts/convert_vgg_weights.py); the TPU host cannot "
+                    "download torchvision checkpoints"
+                )
+            from video_to_video_diffusion_tpu.models.perceptual import (
+                VGGPerceptualLoss,
+                load_vgg19_params,
             )
+
+            perceptual = VGGPerceptualLoss(load_vgg19_params(path))
         self.criterion = AutoencoderLoss(
             use_ssim=t.use_ssim_loss,
             ssim_weight=t.ssim_loss_weight,
             every_n_steps=t.aux_loss_every_n_steps,
+            perceptual=perceptual,
+            perceptual_weight=t.lpips_weight if perceptual is not None else 0.0,
+            perceptual_every_n_steps=self.config.losses.perceptual_every_n_steps,
         )
         self.key = jax.random.PRNGKey(rng_seed)
         self.suffix = f"_{t.model_suffix}" if t.model_suffix else ""

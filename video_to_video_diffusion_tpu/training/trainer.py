@@ -389,14 +389,30 @@ class Trainer:
                 thick = jnp.asarray(batch["input"][b : b + 1])
                 n_thick = int(batch["thick_mask"][b].sum()) if "thick_mask" in batch else thick.shape[1]
                 n_thin = int(batch["thin_mask"][b].sum()) if "thin_mask" in batch else batch["target"].shape[1]
+                thick = thick[:, :n_thick]
+                # Match the training-time conditioning geometry: the patch
+                # dataset resamples each thick sub-stack so patch_depth_thick
+                # slices span a patch_depth_thin window (datasets.py
+                # extract_random_patch). The stitcher generates at that fixed
+                # ratio, so a source with a different thick:thin ratio (e.g.
+                # the 5x synthetic cache vs the 6x patch geometry) must be
+                # depth-resampled to ceil(n_thin / ratio) slices first —
+                # without this, generated depth is stretched vs the target.
+                ratio = d.patch_depth_thin // max(d.patch_depth_thick, 1)
+                want_thick = -(-n_thin // ratio)
+                if want_thick != thick.shape[1]:
+                    from video_to_video_diffusion_tpu.data.windowing import (
+                        linear_resample_depth,
+                    )
+
+                    thick = jnp.asarray(
+                        linear_resample_depth(np.asarray(thick[0]), want_thick)
+                    )[None]
                 # Depth-bucket to multiples of the patch depth so every
                 # distinct patient depth does NOT compile its own stage
                 # programs (minutes each over a remote tunnel); the padded
                 # tail is trimmed from the stitched output below.
-                thick, d_orig = pad_depth_to_bucket(
-                    thick[:, :n_thick], d.patch_depth_thick
-                )
-                ratio = d.patch_depth_thin // max(d.patch_depth_thick, 1)
+                thick, d_orig = pad_depth_to_bucket(thick, d.patch_depth_thick)
                 if self.mesh is not None:
                     from video_to_video_diffusion_tpu.parallel.stitching import (
                         sample_with_stitching_sharded,
