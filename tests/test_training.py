@@ -416,3 +416,50 @@ def test_reset_ema_reseeds_from_live_params(tmp_path):
     assert tr2.state.ema_params is None
     tr2.reset_ema()  # must not raise
     assert tr2.state.ema_params is None
+
+
+def test_tier2_scores_raw_and_ema_and_selects_min(tmp_path):
+    """Best-checkpoint selection under EMA warmup (VERDICT r2 weak #4):
+    Tier-2 must score BOTH the raw params and the EMA average, select the
+    min, and record which side won in checkpoint metadata."""
+    cfg = _tiny_cfg(tmp_path, **{"training.ema_decay": 0.999})
+    model = VideoToVideoDiffusion(cfg)
+    train_loader = get_unified_dataloader(cfg, "train")
+    tr = Trainer(model, cfg, train_loader, get_unified_dataloader(cfg, "val"))
+
+    # perturb the EMA tree so one side is measurably worse; selection must
+    # take the min and label the winner
+    tr.state = tr.state.replace(
+        ema_params=jax.tree_util.tree_map(
+            lambda x: x + 0.05 * jnp.ones_like(x), tr.state.params
+        )
+    )
+    out = tr.validate_patches(num_samples=2)
+    assert {"patch_loss", "patch_loss_raw", "patch_loss_ema"} <= set(out)
+    assert np.isfinite(out["patch_loss_ema"]) and np.isfinite(out["patch_loss_raw"])
+    assert out["patch_loss_ema"] != out["patch_loss_raw"]
+    assert out["patch_loss"] == min(out["patch_loss_raw"], out["patch_loss_ema"])
+    expect = "ema" if out["patch_loss_ema"] < out["patch_loss_raw"] else "raw"
+    assert tr._last_best_weights == expect
+    assert tr._metadata()["best_weights"] == expect
+
+    # identical trees -> equal losses; tie counts as ema (the averaged
+    # weights are the deployment default when not worse)
+    tr.state = tr.state.replace(
+        ema_params=jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), tr.state.params
+        )
+    )
+    out2 = tr.validate_patches(num_samples=2)
+    assert out2["patch_loss_raw"] == out2["patch_loss_ema"] == out2["patch_loss"]
+    assert tr._last_best_weights == "ema"
+
+    # EMA disabled: only the raw score exists
+    cfg0 = _tiny_cfg(tmp_path, **{"training.ema_decay": 0.0})
+    tr0 = Trainer(
+        VideoToVideoDiffusion(cfg0), cfg0,
+        get_unified_dataloader(cfg0, "train"), get_unified_dataloader(cfg0, "val"),
+    )
+    out0 = tr0.validate_patches(num_samples=2)
+    assert "patch_loss_ema" not in out0
+    assert out0["patch_loss"] == out0["patch_loss_raw"]
