@@ -165,6 +165,14 @@ def main(argv=None):
     ap.add_argument("--stride", type=int, nargs=3, default=[4, 96, 96],
                     metavar=("D", "H", "W"))
     ap.add_argument("--vae-batch", type=int, default=5)
+    ap.add_argument("--source-ratio", type=float, default=None,
+                    help="thick:thin slice ratio of the SOURCE acquisition "
+                         "when it differs from the model's patch geometry "
+                         "(target-patch depth / patch depth). The input is "
+                         "depth-resampled so the model's ratio spans the "
+                         "same physical range the training patches did — "
+                         "e.g. --source-ratio 5 for the 5x synthetic cache "
+                         "with the default 48/8=6x patch geometry")
     ap.add_argument("--depth-bucket", type=int, default=None,
                     help="edge-pad input depth to a multiple of this before "
                          "stitching so variable-depth series reuse one "
@@ -250,6 +258,14 @@ def main(argv=None):
 
     def _generate(v_in: np.ndarray, key) -> tuple[np.ndarray, float]:
         t0 = time.time()
+        if args.source_ratio and args.source_ratio != args.ratio:
+            from video_to_video_diffusion_tpu.data.windowing import (
+                linear_resample_depth,
+            )
+
+            want = max(1, int(round(v_in.shape[1] * args.source_ratio / args.ratio)))
+            if want != v_in.shape[1]:
+                v_in = linear_resample_depth(np.asarray(v_in[0]), want)[None]
         if mesh is not None:
             from video_to_video_diffusion_tpu.inference.pipeline import (
                 pad_depth_to_bucket,
