@@ -54,6 +54,12 @@ def main(argv=None):
     ap.add_argument("--quant", default=None, choices=["int8", "int8_static"])
     ap.add_argument("--quant-vae", default=None, choices=["int8"])
     ap.add_argument("--vae-batch", type=int, default=5)
+    ap.add_argument("--depth-bucket", type=int, default=0,
+                    help="pad thick depth to a multiple of this before "
+                         "stitching (compile reuse across variable-depth "
+                         "cases); 0 = off (synthetic cache volumes share "
+                         "one depth, and bucketing to the patch depth would "
+                         "pad 10 -> 16 slices of wasted compute)")
     ap.add_argument("--oracle", action="store_true",
                     help="also score the clean signal (synthetic cache only)")
     ap.add_argument("--output", default="full_vol_eval")
@@ -124,7 +130,7 @@ def main(argv=None):
             ),
             vae_batch=args.vae_batch, eta=args.eta, sampler=args.sampler,
             quant=args.quant, quant_vae=args.quant_vae,
-            depth_bucket=d.patch_depth_thick,
+            depth_bucket=args.depth_bucket or None,
         )
         gen = np.asarray(out, np.float32)[0, :D_thin]
         tgt01 = from_model_range(thin[None])
