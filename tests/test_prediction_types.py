@@ -56,8 +56,10 @@ def test_v_target_closed_form(schedule):
     np.testing.assert_allclose(np.asarray(v), np.asarray(c0 * noise - c1 * z0), atol=1e-6)
 
 
-def test_min_snr_weights_agree_in_x0_space(schedule):
-    """w_eps*snr == w_v*(snr+1) == w_x0 == min(snr, gamma)."""
+def test_min_snr_weights_x0_space_forms(schedule):
+    """x0-space weights: eps/x0 -> min(snr, g) (reference / Hang et al.);
+    v -> min(snr+1, g), which stays 1 at pure noise instead of vanishing —
+    the high-noise steps are where DDIM builds structure from conditioning."""
     t = jnp.arange(0, 100, 7, dtype=jnp.int32)
     abar = schedule.alphas_cumprod[t]
     snr = abar / (1.0 - abar + 1e-8)
@@ -66,8 +68,15 @@ def test_min_snr_weights_agree_in_x0_space(schedule):
     w_x0 = min_snr_weight(schedule, t, 5.0, "x0")
     ref = np.minimum(np.asarray(snr), 5.0)
     np.testing.assert_allclose(np.asarray(w_eps * snr), ref, rtol=1e-4)
-    np.testing.assert_allclose(np.asarray(w_v * (snr + 1.0)), ref, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(w_x0), ref, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(w_v * (snr + 1.0)), np.minimum(np.asarray(snr) + 1.0, 5.0),
+        rtol=1e-4,
+    )
+    # the property that motivated the v form: full weight at the highest-
+    # noise timestep (t=T-1), where the strict-equivalence form ~vanishes
+    wT = float(min_snr_weight(schedule, jnp.asarray([99]), 5.0, "v")[0])
+    assert wT > 0.9
 
 
 def test_unknown_prediction_type_raises(schedule):

@@ -243,19 +243,29 @@ def min_snr_weight(
     """Min-SNR-gamma loss weight (reference models/diffusion.py:144-149).
 
     snr = a-bar/(1-a-bar); weight = min(snr, gamma)/snr — down-weights easy
-    low-noise timesteps so per-timestep loss variance is balanced. For the
-    'v'/'x0' parametrizations the weight is re-expressed so the implied
-    x0-space weighting matches the epsilon one (Hang et al. 2023 §3.3).
+    low-noise timesteps so per-timestep loss variance is balanced.
+
+    Parametrization forms (x0-space equivalent weight in brackets):
+      epsilon  min(snr, g)/snr        [min(snr, g)]  — reference behavior
+      x0       min(snr, g)            [min(snr, g)]  — Hang et al. 2023 §3.3
+      v        min(snr+1, g)/(snr+1)  [min(snr+1, g)]
+
+    The v form deliberately does NOT use Hang et al.'s strict equivalence
+    (min(snr,g)/(snr+1)): that weight vanishes as snr -> 0, i.e. the model
+    receives ZERO gradient at the highest-noise timesteps — exactly where a
+    DDIM trajectory builds global structure from the conditioning. The
+    snr+1 form is the Min-SNR cap applied to v-prediction's natural uniform
+    v-MSE (Salimans & Ho 2022; x0-weight snr+1), keeping weight 1 at pure
+    noise while still capping easy low-noise steps at gamma.
     """
     abar = schedule.alphas_cumprod[t]
     snr = abar / (1.0 - abar + 1e-8)
-    clipped = jnp.clip(snr, max=gamma)
     if prediction_type == "epsilon":
-        return clipped / (snr + 1e-8)
+        return jnp.clip(snr, max=gamma) / (snr + 1e-8)
     if prediction_type == "v":
-        return clipped / (snr + 1.0)
+        return jnp.clip(snr + 1.0, max=gamma) / (snr + 1.0)
     if prediction_type == "x0":
-        return clipped
+        return jnp.clip(snr, max=gamma)
     raise ValueError(f"Unknown prediction_type {prediction_type!r}; expected one of {PREDICTION_TYPES}")
 
 
@@ -271,10 +281,11 @@ def diffusion_training_loss(
     """Min-SNR-weighted prediction-MSE loss (epsilon by default).
 
     For prediction_type='v'/'x0', pass the matching (pred, target) pair from
-    prediction_target(); the Min-SNR-gamma weight is re-expressed in that
-    parametrization (Hang et al. 2023): eps -> min(snr,g)/snr,
-    v -> min(snr,g)/(snr+1), x0 -> min(snr,g), so the three objectives weight
-    each timestep's *x0-space* error identically.
+    prediction_target(); the Min-SNR-gamma weight takes the matching form
+    (see min_snr_weight): eps -> min(snr,g)/snr, x0 -> min(snr,g) (both
+    x0-equivalent to Hang et al. 2023), v -> min(snr+1,g)/(snr+1) (the
+    Min-SNR cap on v-prediction's natural uniform v-MSE, which keeps
+    nonzero gradient at the highest-noise timesteps).
 
     Mirrors the three reference paths (models/diffusion.py:152-199):
       * mask=None: per-sample mean MSE, SNR-weighted, batch mean.
