@@ -207,9 +207,11 @@ class VAETrainer:
                     float(self.lr_schedule(self.global_step // accum)),
                     self.global_step,
                 )
+        # single batched readback (see trainer.train_epoch: per-scalar
+        # float() is a relay round-trip each on tunneled TPU backends)
         return {
-            "loss": float(np.mean([float(l) for l in losses])),
-            "psnr": float(np.mean([float(p) for p in psnrs])),
+            "loss": float(jnp.stack(losses).mean()) if losses else float("nan"),
+            "psnr": float(jnp.stack(psnrs).mean()) if psnrs else float("nan"),
         }
 
     def validate(self, val_loader, max_batches: Optional[int] = 16) -> Dict[str, float]:

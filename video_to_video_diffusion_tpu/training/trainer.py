@@ -216,8 +216,12 @@ class Trainer:
                     "train/grad_norm", float(metrics["grad_norm"]), self.global_step
                 )
             t_last = time.time()
+        # ONE batched readback: float()-ing the per-step scalars one by one
+        # costs a full relay round-trip EACH over a tunneled TPU backend —
+        # measured ~450 s for an 876-step epoch (vs ~170 s of everything
+        # else) on the round-3 quality run before this fix.
         return {
-            "loss": float(np.mean([float(l) for l in losses])) if losses else float("nan"),
+            "loss": float(jnp.stack(losses).mean()) if losses else float("nan"),
             "data_time": data_time,
             "step_time": step_time,
         }
