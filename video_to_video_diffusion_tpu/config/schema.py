@@ -61,6 +61,18 @@ class ModelConfig:
     # models/diffusion.py:135-142), 'v' (Salimans & Ho 2022), or 'x0'.
     # Samplers are parametrization-agnostic (diffusion.to_epsilon).
     prediction_type: str = "epsilon"
+    # Pixel-space residual parametrization (TPU-native addition; cf. residual
+    # SR diffusion a la ResShift): the VAE autoencodes the residual
+    # thin - trilinear(thick) scaled by residual_gain, the UNet denoises
+    # residual latents conditioned on a space-to-depth fold of the trilinear
+    # upsample, and generation returns trilinear(thick) + decode(z)/gain.
+    # With the zero-initialized decoder tail this makes the *untrained*
+    # end-to-end output exactly the trilinear interpolation baseline, so
+    # training monotonically improves on it instead of having to rediscover
+    # the full CT signal (the reference's full-signal path, model.py:158-343,
+    # remains the default).
+    residual_mode: bool = False
+    residual_gain: float = 4.0
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "ModelConfig":
@@ -81,6 +93,8 @@ class ModelConfig:
             beta_start=float(_pick(d, "beta_start", default=0.0001)),
             beta_end=float(_pick(d, "beta_end", default=0.02)),
             prediction_type=str(_pick(d, "prediction_type", default="epsilon")),
+            residual_mode=bool(_pick(d, "residual_mode", default=False)),
+            residual_gain=float(_pick(d, "residual_gain", default=4.0)),
         )
 
 

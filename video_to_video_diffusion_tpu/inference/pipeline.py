@@ -163,7 +163,7 @@ def _calibration_sample(model, src_params, sample_params, z_in, key, steps, eta)
             return to_epsilon(model.schedule, model.prediction_type, z, t, out), aux
 
         return ddim_sample_with_aux(
-            eps_aux, model.schedule, k, z_c.shape, steps, s, eta
+            eps_aux, model.schedule, k, (*z_c.shape[:-1], model.latent_dim), steps, s, eta
         )
 
     calib = _cached(
@@ -202,8 +202,11 @@ def _sample_stage(model, params, z_in, key, sampler, num_inference_steps, eta, q
             out = apply_unet(p, z, t, z_c).astype(jnp.float32)
             return to_epsilon(model.schedule, model.prediction_type, z, t, out)
 
+        # sampled latents have latent_dim channels on the conditioning grid
+        # (residual-mode conditioning carries f^2*C channels instead)
+        shape = (*z_c.shape[:-1], model.latent_dim)
         return _route_sampler(
-            sampler, eps, model.schedule, k, z_c.shape, num_inference_steps, eta
+            sampler, eps, model.schedule, k, shape, num_inference_steps, eta
         )
 
     sample = _cached(
@@ -213,7 +216,7 @@ def _sample_stage(model, params, z_in, key, sampler, num_inference_steps, eta, q
     )
     z0 = sample(sample_params, z_in, key)
     return jnp.clip(jnp.nan_to_num(z0, posinf=1.0, neginf=-1.0), -10.0, 10.0)
-from video_to_video_diffusion_tpu.ops.resize import resize_trilinear
+from video_to_video_diffusion_tpu.ops.resize import resize_trilinear, space_to_depth
 
 # Entry kinds derived from a SPECIFIC parameter tree (vs. shape-keyed stage
 # jits): these hold strong references to multi-GB trees.
@@ -337,24 +340,50 @@ def staged_generate(
     (ops/quant.py); quant_vae='int8' additionally decodes on the w8a8
     decoder (encode always stays at the trained precision).
     """
-    enc = _cached(
-        "encode", (id(model),) + tuple(v_in.shape[1:]) + (v_in.shape[0],),
-        lambda: jax.jit(lambda p, v: model.encode(p, v).astype(jnp.float32)),
-    )
-    z_in = jnp.nan_to_num(enc(params, v_in), posinf=1.0, neginf=-1.0)
-    if target_depth is not None and target_depth != z_in.shape[1]:
-        z_in = resize_trilinear(z_in, (target_depth, z_in.shape[2], z_in.shape[3]))
+    cond_up = None
+    if getattr(model, "residual_mode", False):
+        # residual conditioning is pure pixel math (no params): trilinear
+        # upsample + space-to-depth fold, one cached jit per input shape
+        D_t = target_depth or v_in.shape[1]
+        cond = _cached(
+            "cond", (id(model), D_t) + tuple(v_in.shape),
+            lambda: jax.jit(
+                lambda v: (
+                    lambda cu: (cu, space_to_depth(cu, model.spatial_factor))
+                )(model.cond_pixels(jnp.nan_to_num(v.astype(jnp.float32)), D_t))
+            ),
+        )
+        cond_up, z_in = cond(v_in)
+    else:
+        enc = _cached(
+            "encode", (id(model),) + tuple(v_in.shape[1:]) + (v_in.shape[0],),
+            lambda: jax.jit(lambda p, v: model.encode(p, v).astype(jnp.float32)),
+        )
+        z_in = jnp.nan_to_num(enc(params, v_in), posinf=1.0, neginf=-1.0)
+        if target_depth is not None and target_depth != z_in.shape[1]:
+            z_in = resize_trilinear(z_in, (target_depth, z_in.shape[2], z_in.shape[3]))
 
     z0 = _sample_stage(
         model, params, z_in, key, sampler, num_inference_steps, eta, quant
     )
 
     dec_params, decode = _decode_params_and_apply(model, params, quant_vae)
-    dec = _cached(
-        "decode", (id(model), quant_vae, z0.shape[0]) + tuple(z0.shape[1:]),
-        lambda: jax.jit(lambda p, z: decode(p, z).astype(jnp.float32)),
-    )
-    out = dec(dec_params, z0)
+    if cond_up is not None:
+        dec = _cached(
+            "decode_res", (id(model), quant_vae, z0.shape[0]) + tuple(z0.shape[1:]),
+            lambda: jax.jit(
+                lambda p, z, cu: model.compose_residual(
+                    cu, decode(p, z).astype(jnp.float32)
+                )
+            ),
+        )
+        out = dec(dec_params, z0, cond_up)
+    else:
+        dec = _cached(
+            "decode", (id(model), quant_vae, z0.shape[0]) + tuple(z0.shape[1:]),
+            lambda: jax.jit(lambda p, z: decode(p, z).astype(jnp.float32)),
+        )
+        out = dec(dec_params, z0)
     return jnp.nan_to_num(out, posinf=1.0, neginf=-1.0)
 
 
@@ -458,17 +487,33 @@ def generate_volume(
     t0 = _time.time()
 
     # ---- encode (chunked) ----
-    enc = _cached(
-        "encode", (id(model), vae_batch, pd, ph, pw, C),
-        lambda: jax.jit(lambda p, v: model.encode(p, v).astype(jnp.float32)),
-    )
-    z_chunks = [
-        enc(params, patches[i : i + vae_batch]) for i in range(0, Np, vae_batch)
-    ]
-    z_in = jnp.concatenate(z_chunks, axis=0)
-    z_in = jnp.nan_to_num(z_in, posinf=1.0, neginf=-1.0)
-    if ratio != 1:
-        z_in = resize_trilinear(z_in, (z_in.shape[1] * ratio, z_in.shape[2], z_in.shape[3]))
+    residual = getattr(model, "residual_mode", False)
+    cond_up = None
+    if residual:
+        # pixel-space conditioning: per-patch trilinear upsample to the thin
+        # grid + space-to-depth fold; the upsampled pixels are kept for the
+        # decode stage's residual recomposition (one cached jit, no params)
+        cond = _cached(
+            "cond_vol", (id(model), pd, ph, pw, C, td),
+            lambda: jax.jit(
+                lambda v: (
+                    lambda cu: (cu, space_to_depth(cu, model.spatial_factor))
+                )(model.cond_pixels(jnp.nan_to_num(v.astype(jnp.float32)), td))
+            ),
+        )
+        cond_up, z_in = cond(patches)
+    else:
+        enc = _cached(
+            "encode", (id(model), vae_batch, pd, ph, pw, C),
+            lambda: jax.jit(lambda p, v: model.encode(p, v).astype(jnp.float32)),
+        )
+        z_chunks = [
+            enc(params, patches[i : i + vae_batch]) for i in range(0, Np, vae_batch)
+        ]
+        z_in = jnp.concatenate(z_chunks, axis=0)
+        z_in = jnp.nan_to_num(z_in, posinf=1.0, neginf=-1.0)
+        if ratio != 1:
+            z_in = resize_trilinear(z_in, (z_in.shape[1] * ratio, z_in.shape[2], z_in.shape[3]))
     t0 = _mark("encode", z_in, t0)
 
     # ---- batched DDIM (or EDM Heun) scan over the whole grid ----
@@ -479,13 +524,27 @@ def generate_volume(
 
     # ---- decode (chunked) ----
     dec_params, decode = _decode_params_and_apply(model, params, quant_vae)
-    dec = _cached(
-        "decode", (id(model), quant_vae, vae_batch) + tuple(z0.shape[1:]),
-        lambda: jax.jit(lambda p, z: decode(p, z).astype(jnp.float32)),
-    )
-    thin_chunks = [
-        dec(dec_params, z0[i : i + vae_batch]) for i in range(0, Np, vae_batch)
-    ]
+    if residual:
+        dec = _cached(
+            "decode_res", (id(model), quant_vae, vae_batch) + tuple(z0.shape[1:]),
+            lambda: jax.jit(
+                lambda p, z, cu: model.compose_residual(
+                    cu, decode(p, z).astype(jnp.float32)
+                )
+            ),
+        )
+        thin_chunks = [
+            dec(dec_params, z0[i : i + vae_batch], cond_up[i : i + vae_batch])
+            for i in range(0, Np, vae_batch)
+        ]
+    else:
+        dec = _cached(
+            "decode", (id(model), quant_vae, vae_batch) + tuple(z0.shape[1:]),
+            lambda: jax.jit(lambda p, z: decode(p, z).astype(jnp.float32)),
+        )
+        thin_chunks = [
+            dec(dec_params, z0[i : i + vae_batch]) for i in range(0, Np, vae_batch)
+        ]
     thin = jnp.concatenate(thin_chunks, axis=0)[:N]
     thin = jnp.nan_to_num(thin, posinf=1.0, neginf=-1.0)
     t0 = _mark("decode", thin, t0)

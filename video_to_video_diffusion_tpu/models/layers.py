@@ -71,6 +71,11 @@ class Conv3D(nn.Module):
     dtype: Dtype = jnp.float32
     quant: bool = False
     quant_static: bool = False
+    # Zero-init kernel AND bias (standard diffusion-UNet tail trick): the
+    # layer starts as the identity-to-zero map so the enclosing network's
+    # initial output is exactly 0. Initialization-only — loaded checkpoints
+    # override it; the parameter tree is unchanged.
+    zero_init: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -78,8 +83,11 @@ class Conv3D(nn.Module):
         in_ch = x.shape[-1]
         fan_in = in_ch * ks[0] * ks[1] * ks[2]
         kshape = (*ks, in_ch, self.features)
+        bias_init = (
+            nn.initializers.zeros if self.zero_init else _bias_init_for_fan_in(fan_in)
+        )
         bias = (
-            self.param("bias", _bias_init_for_fan_in(fan_in), (self.features,), jnp.float32)
+            self.param("bias", bias_init, (self.features,), jnp.float32)
             if self.use_bias
             else None
         )
@@ -98,7 +106,12 @@ class Conv3D(nn.Module):
                 stride=self.stride, padding=self.padding, out_dtype=self.dtype,
                 x_amax=x_amax,
             )
-        kernel = self.param("kernel", _KERNEL_INIT, kshape, jnp.float32)
+        kernel = self.param(
+            "kernel",
+            nn.initializers.zeros if self.zero_init else _KERNEL_INIT,
+            kshape,
+            jnp.float32,
+        )
         y = conv3d(
             x.astype(self.dtype),
             kernel.astype(self.dtype),

@@ -39,7 +39,11 @@ from video_to_video_diffusion_tpu.models.diffusion import (
 from video_to_video_diffusion_tpu.models.unet3d import UNet3D
 from video_to_video_diffusion_tpu.models.vae import SliceInterpolationVAE
 from video_to_video_diffusion_tpu.ops.precision import Policy
-from video_to_video_diffusion_tpu.ops.resize import resize_nearest, resize_trilinear
+from video_to_video_diffusion_tpu.ops.resize import (
+    resize_nearest,
+    resize_trilinear,
+    space_to_depth,
+)
 
 
 class VideoToVideoDiffusion:
@@ -63,6 +67,7 @@ class VideoToVideoDiffusion:
                 scaling_factor=m.vae_scaling_factor,
                 num_down_stages=m.vae_num_down_stages,
                 dtype=dtype,
+                zero_init_out=m.residual_mode,
             )
             unet = UNet3D(
                 latent_dim=m.latent_dim,
@@ -103,6 +108,17 @@ class VideoToVideoDiffusion:
         )
         self.latent_dim = m.latent_dim
         self.spatial_factor = 2 ** m.vae_num_down_stages
+        # Pixel-space residual parametrization (schema.ModelConfig docs):
+        # targets are (thin - trilinear(thick)) * gain, conditioning is a
+        # space-to-depth fold of the trilinear upsample (cond_channels), and
+        # generation adds the decoded residual back onto the upsample.
+        self.residual_mode = m.residual_mode
+        self.residual_gain = m.residual_gain
+        self.cond_channels = (
+            self.spatial_factor ** 2 * m.in_channels
+            if m.residual_mode
+            else m.latent_dim
+        )
         if m.prediction_type not in PREDICTION_TYPES:
             raise ValueError(
                 f"model.prediction_type={m.prediction_type!r}; expected one of "
@@ -171,8 +187,9 @@ class VideoToVideoDiffusion:
             x = jnp.zeros((batch, D, H, W, C), jnp.float32)
             vae_params = self.vae_f32.init(kv, x)["params"]
             z = jnp.zeros((batch, D, H // f, W // f, self.latent_dim), jnp.float32)
+            c = jnp.zeros((batch, D, H // f, W // f, self.cond_channels), jnp.float32)
             t = jnp.zeros((batch,), jnp.int32)
-            unet_params = self.unet_f32.init(ku, z, t, z)["params"]
+            unet_params = self.unet_f32.init(ku, z, t, c)["params"]
             return {"vae": vae_params, "unet": unet_params}
 
         return jax.jit(_init)(key)
@@ -207,7 +224,9 @@ class VideoToVideoDiffusion:
         )
 
         latent_shape = (1, 8, 16, 16, self.latent_dim)
-        structure = unet_int8_structure(self.unet_int8, latent_shape)
+        structure = unet_int8_structure(
+            self.unet_int8, latent_shape, cond_channels=self.cond_channels
+        )
         return {"unet": quantize_params_like(structure, params["unet"])}
 
     def apply_unet_q(self, qparams, z_t, t, c):
@@ -244,7 +263,9 @@ class VideoToVideoDiffusion:
         from video_to_video_diffusion_tpu.models.quantize import unet_act_scales_zeros
 
         latent_shape = (1, 8, 16, 16, self.latent_dim)
-        return unet_act_scales_zeros(self.unet_int8_static, latent_shape)
+        return unet_act_scales_zeros(
+            self.unet_int8_static, latent_shape, cond_channels=self.cond_channels
+        )
 
     def observe_unet_act_scales(self, qparams, act_scales, z_t, t, c):
         """One calibration forward: dynamic-quant output + updated abs-max.
@@ -270,6 +291,27 @@ class VideoToVideoDiffusion:
             z_t, t, c,
         )
 
+    # ----------------------------------------------------------- residual
+    def cond_pixels(self, v_in: jnp.ndarray, target_depth: int) -> jnp.ndarray:
+        """Trilinear depth-upsampled conditioning volume (f32 pixels)."""
+        v_in = v_in.astype(jnp.float32)
+        if target_depth == v_in.shape[1]:
+            return v_in
+        return resize_trilinear(v_in, (target_depth, v_in.shape[2], v_in.shape[3]))
+
+    def residualize(
+        self, v_in: jnp.ndarray, v_gt: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(cond_up, scaled residual target) for residual-mode training."""
+        cond_up = self.cond_pixels(v_in, v_gt.shape[1])
+        r = (v_gt.astype(jnp.float32) - cond_up) * self.residual_gain
+        return cond_up, r
+
+    def compose_residual(self, cond_up: jnp.ndarray, r_hat: jnp.ndarray) -> jnp.ndarray:
+        """trilinear upsample + decoded residual -> [-1, 1] volume."""
+        out = cond_up.astype(jnp.float32) + r_hat.astype(jnp.float32) / self.residual_gain
+        return jnp.clip(out, -1.0, 1.0)
+
     # ------------------------------------------------------------- training
     def loss_fn(
         self,
@@ -292,12 +334,20 @@ class VideoToVideoDiffusion:
             pure epsilon-MSE objective — comparable across configs and to
             diffusion-only baselines, and free of the per-batch VAE decode.
         """
-        z_in = jax.lax.stop_gradient(self.encode(params, v_in))
-        z_gt = jax.lax.stop_gradient(self.encode(params, v_gt))
+        if self.residual_mode:
+            # residual parametrization: VAE-encode the scaled pixel residual,
+            # condition on the exact upsampled pixels (space-to-depth fold —
+            # no encoder between input and conditioning).
+            cond_up, r = self.residualize(v_in, v_gt)
+            z_gt = jax.lax.stop_gradient(self.encode(params, r))
+            z_in = space_to_depth(cond_up, self.spatial_factor).astype(z_gt.dtype)
+        else:
+            z_in = jax.lax.stop_gradient(self.encode(params, v_in))
+            z_gt = jax.lax.stop_gradient(self.encode(params, v_gt))
 
-        if z_in.shape[1] != z_gt.shape[1]:
-            # full-volume mode: align conditioning depth (model.py:185-205)
-            z_in = resize_trilinear(z_in, z_gt.shape[1:4])
+            if z_in.shape[1] != z_gt.shape[1]:
+                # full-volume mode: align conditioning depth (model.py:185-205)
+                z_in = resize_trilinear(z_in, z_gt.shape[1:4])
         z_mask = None
         if mask is not None:
             # depth mask -> latent depth via torch-nearest rule, broadcast to
@@ -333,6 +383,8 @@ class VideoToVideoDiffusion:
                     self.schedule, self.prediction_type, z_t, t, pred
                 )
                 v_pred = self.decode(frozen_vae, z0_pred)
+                if self.residual_mode:
+                    v_pred = self.compose_residual(cond_up, v_pred)
                 return v_pred, v_gt
 
             loss, aux = self.combined_loss(loss, step, decoded_fn=decoded)
@@ -375,13 +427,20 @@ class VideoToVideoDiffusion:
 
         f32 = precision == "f32"
         v_in = jnp.nan_to_num(v_in.astype(jnp.float32))
-        z_in = self.encode(params, v_in, f32=f32).astype(jnp.float32)
-        z_in = jnp.nan_to_num(z_in, posinf=1.0, neginf=-1.0)
-        if target_depth is not None and target_depth != z_in.shape[1]:
-            z_in = resize_trilinear(
-                z_in, (target_depth, z_in.shape[2], z_in.shape[3])
-            )
-        latent_shape = z_in.shape
+        cond_up = None
+        if self.residual_mode:
+            cond_up = self.cond_pixels(v_in, target_depth or v_in.shape[1])
+            z_in = space_to_depth(cond_up, self.spatial_factor)
+        else:
+            z_in = self.encode(params, v_in, f32=f32).astype(jnp.float32)
+            z_in = jnp.nan_to_num(z_in, posinf=1.0, neginf=-1.0)
+            if target_depth is not None and target_depth != z_in.shape[1]:
+                z_in = resize_trilinear(
+                    z_in, (target_depth, z_in.shape[2], z_in.shape[3])
+                )
+        # residual-mode cond channels differ from latent_dim; the sampled
+        # latent always has latent_dim channels on the conditioning grid
+        latent_shape = (*z_in.shape[:-1], self.latent_dim)
 
         def eps_fn(z, t):
             out = self.apply_unet(params, z, t, z_in, f32=f32).astype(jnp.float32)
@@ -407,6 +466,8 @@ class VideoToVideoDiffusion:
             v_out = v_out.reshape(B, *v_out.shape[2:]).astype(jnp.float32)
         else:
             v_out = self.decode(params, z0, f32=f32).astype(jnp.float32)
+        if self.residual_mode:
+            v_out = self.compose_residual(cond_up, v_out)
         return jnp.nan_to_num(v_out, posinf=1.0, neginf=-1.0)
 
     # ------------------------------------------------------------- metadata

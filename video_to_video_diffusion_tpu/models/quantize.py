@@ -46,15 +46,18 @@ def quantize_params_like(target_structure: Dict[str, Any], params: Dict[str, Any
     return unflatten_dict(out)
 
 
-def unet_int8_structure(unet_int8, latent_shape, dtype=jnp.float32):
+def unet_int8_structure(unet_int8, latent_shape, dtype=jnp.float32, cond_channels=None):
     """Abstract param structure of the quantized UNet via eval_shape.
 
     latent_shape: (B, D, h, w, latent_dim) of one latent input.
+    cond_channels: conditioning channel count when it differs from
+    latent_dim (residual mode's space-to-depth conditioning).
     """
     z = jnp.zeros(latent_shape, dtype)
+    c = jnp.zeros((*latent_shape[:-1], cond_channels or latent_shape[-1]), dtype)
     t = jnp.zeros((latent_shape[0],), jnp.int32)
     shapes = jax.eval_shape(
-        lambda: unet_int8.init(jax.random.PRNGKey(0), z, t, z)["params"]
+        lambda: unet_int8.init(jax.random.PRNGKey(0), z, t, c)["params"]
     )
     return shapes
 
@@ -73,7 +76,7 @@ def vae_int8_structure(vae_int8, volume_shape, dtype=jnp.float32):
     return shapes
 
 
-def unet_act_scales_zeros(unet_static, latent_shape, dtype=jnp.float32):
+def unet_act_scales_zeros(unet_static, latent_shape, dtype=jnp.float32, cond_channels=None):
     """Concrete zeroed 'act_scales' collection for the static-quant UNet.
 
     Structure comes from eval_shape of the module's own init (like
@@ -81,8 +84,9 @@ def unet_act_scales_zeros(unet_static, latent_shape, dtype=jnp.float32):
     Fill by running calibration forwards with mutable=['act_scales'].
     """
     z = jnp.zeros(latent_shape, dtype)
+    c = jnp.zeros((*latent_shape[:-1], cond_channels or latent_shape[-1]), dtype)
     t = jnp.zeros((latent_shape[0],), jnp.int32)
     shapes = jax.eval_shape(
-        lambda: unet_static.init(jax.random.PRNGKey(0), z, t, z)["act_scales"]
+        lambda: unet_static.init(jax.random.PRNGKey(0), z, t, c)["act_scales"]
     )
     return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)

@@ -84,6 +84,10 @@ class VideoDecoder(nn.Module):
     quant_static: bool = False
     # Mirrors VideoEncoder.bottleneck_channels (reference hardcodes 8).
     bottleneck_channels: int = 8
+    # Zero-init the output conv (residual mode): tanh(0)=0, so a freshly
+    # initialized decoder emits exactly 0 and the composite's end-to-end
+    # output starts at the trilinear-interpolation baseline.
+    zero_init_out: bool = False
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
@@ -101,7 +105,10 @@ class VideoDecoder(nn.Module):
             h = UpsampleBlock(ch, dtype=self.dtype, name=f"up{i+1}_us", **q)(h)
             h = Res(ch, dtype=self.dtype, name=f"up{i+1}_res1", **q)(h)
             h = Res(ch, dtype=self.dtype, name=f"up{i+1}_res2", **q)(h)
-        h = Conv3D(self.out_channels, 3, 1, 1, dtype=self.dtype, name="conv_out")(h)
+        h = Conv3D(
+            self.out_channels, 3, 1, 1, dtype=self.dtype, name="conv_out",
+            zero_init=self.zero_init_out,
+        )(h)
         # Bound to [-1, 1] in f32 (vae.py:203)
         return jnp.tanh(h.astype(jnp.float32)).astype(h.dtype)
 
@@ -121,6 +128,7 @@ class SliceInterpolationVAE(nn.Module):
     # quantizing — see VideoDecoder.quant_int8).
     quant_dec_int8: bool = False
     quant_static: bool = False
+    zero_init_out: bool = False
 
     def setup(self):
         bottleneck = max(8, self.latent_dim)
@@ -141,6 +149,7 @@ class SliceInterpolationVAE(nn.Module):
             quant_int8=self.quant_dec_int8,
             quant_static=self.quant_static,
             bottleneck_channels=bottleneck,
+            zero_init_out=self.zero_init_out,
         )
 
     def encode(self, x: jnp.ndarray) -> jnp.ndarray:

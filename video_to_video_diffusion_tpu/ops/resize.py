@@ -47,6 +47,23 @@ def resize_nearest(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
     return out
 
 
+def space_to_depth(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Lossless spatial fold: (B, D, H, W, C) -> (B, D, H/f, W/f, f*f*C).
+
+    Used by the residual-mode conditioning path: the trilinear-upsampled
+    input volume is folded to the latent grid so the UNet sees the exact
+    pixels (no learned encoder between input and conditioning), while every
+    op stays a static reshape/transpose XLA folds into the consumer.
+    """
+    B, D, H, W, C = x.shape
+    f = factor
+    if H % f or W % f:
+        raise ValueError(f"space_to_depth: ({H},{W}) not divisible by {f}")
+    x = x.reshape(B, D, H // f, f, W // f, f, C)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6)
+    return x.reshape(B, D, H // f, W // f, f * f * C)
+
+
 def resize_depth_linear(x: jnp.ndarray, target_depth: int) -> jnp.ndarray:
     """Linear resize along depth only (common case: latent depth alignment)."""
     B, D, H, W, C = x.shape

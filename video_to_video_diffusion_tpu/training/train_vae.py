@@ -29,6 +29,7 @@ from video_to_video_diffusion_tpu.data.windowing import from_model_range
 from video_to_video_diffusion_tpu.models.losses import AutoencoderLoss
 from video_to_video_diffusion_tpu.models.vae import SliceInterpolationVAE
 from video_to_video_diffusion_tpu.ops.precision import Policy
+from video_to_video_diffusion_tpu.ops.resize import resize_trilinear
 from video_to_video_diffusion_tpu.parallel.sharding import shard_batch, shard_params
 from video_to_video_diffusion_tpu.training.schedule import get_schedule
 from video_to_video_diffusion_tpu.training.state import TrainState
@@ -58,7 +59,15 @@ class VAETrainer:
                 num_down_stages=m.vae_num_down_stages,
                 use_checkpoint=self.config.hardware.gradient_checkpointing,
                 dtype=dtype,
+                zero_init_out=m.residual_mode,
             )
+
+        # Residual mode (schema.ModelConfig.residual_mode): the VAE
+        # autoencodes (thin - trilinear(thick)) * gain instead of CT volumes;
+        # with the zero-init decoder tail its end-to-end reconstruction
+        # starts exactly at the trilinear-interpolation baseline.
+        self.residual = m.residual_mode
+        self.gain = m.residual_gain
 
         self.vae = _make_vae(policy.compute_dtype)
         self.vae_f32 = _make_vae(jnp.float32)
@@ -139,6 +148,36 @@ class VAETrainer:
         )
 
         vae, criterion, tx = self.vae, self.criterion, self._tx
+        gain = self.gain
+
+        def residualize(thick: jnp.ndarray, thin: jnp.ndarray):
+            """(thick, thin) -> (trilinear cond, scaled pixel residual)."""
+            cond = resize_trilinear(
+                thick.astype(jnp.float32),
+                (thin.shape[1], thin.shape[2], thin.shape[3]),
+            )
+            return cond, (thin.astype(jnp.float32) - cond) * gain
+
+        def train_step_residual(state: TrainState, thick: jnp.ndarray, thin: jnp.ndarray):
+            cond, x = residualize(thick, thin)
+
+            def loss_fn(p):
+                recon, _z = vae.apply({"params": p}, x)
+                loss, aux = criterion(recon, x, state.step)
+                return loss, (aux, recon)
+
+            (loss, (aux, recon)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            aux = dict(aux)
+            aux["grad_norm"] = optax.global_norm(grads)
+            # end-to-end PSNR vs the thin ground truth (directly comparable
+            # to the trilinear baseline), not residual-space PSNR
+            e2e = jnp.clip(cond + recon.astype(jnp.float32) / gain, -1.0, 1.0)
+            aux["psnr"] = psnr(from_model_range(e2e), from_model_range(thin))
+            return TrainState(step=state.step + 1, params=params, opt_state=opt_state), aux
 
         def train_step(state: TrainState, x: jnp.ndarray):
             def loss_fn(p):
@@ -163,9 +202,20 @@ class VAETrainer:
 
         # donate the state so params/opt-state update in place (saves ~1 GB
         # of transient HBM at 90M params)
-        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._train_step = jax.jit(
+            train_step_residual if self.residual else train_step, donate_argnums=(0,)
+        )
         vf32 = self.vae_f32
         self._reconstruct = jax.jit(lambda p, x: vf32.apply({"params": p}, x)[0])
+
+        def val_residual(p, thick, thin):
+            """Residual-mode validation: (end-to-end volume, trilinear cond)."""
+            cond, x = residualize(thick, thin)
+            recon = vf32.apply({"params": p}, x)[0]
+            e2e = jnp.clip(cond + recon.astype(jnp.float32) / gain, -1.0, 1.0)
+            return e2e, cond
+
+        self._val_residual = jax.jit(val_residual)
 
     # ------------------------------------------------------------------ data
     def _pick_volume(self, batch: Dict, rng: np.random.Generator) -> np.ndarray:
@@ -188,8 +238,13 @@ class VAETrainer:
         rng = np.random.default_rng(1234 + self.epoch)
         losses, psnrs = [], []
         for i, batch in enumerate(train_loader):
-            x = self._put(self._pick_volume(batch, rng))
-            self.state, aux = self._train_step(self.state, x)
+            if self.residual:
+                self.state, aux = self._train_step(
+                    self.state, self._put(batch["input"]), self._put(batch["target"])
+                )
+            else:
+                x = self._put(self._pick_volume(batch, rng))
+                self.state, aux = self._train_step(self.state, x)
             # host-side counter + device-resident metrics: float()-ing every
             # step would force a device sync per step and stall dispatch
             self.global_step += 1
@@ -216,12 +271,27 @@ class VAETrainer:
 
     def validate(self, val_loader, max_batches: Optional[int] = 16) -> Dict[str, float]:
         """Thin-slice validation with PSNR/SSIM (reference :383-452)."""
-        losses, psnrs, ssims = [], [], []
+        losses, psnrs, ssims, tri_psnrs = [], [], [], []
         for i, batch in enumerate(val_loader):
             if max_batches is not None and i >= max_batches:
                 break
             x = batch["target"]  # thin only
-            recon = np.asarray(self._reconstruct(self.state.params, self._put(x)))
+            if self.residual:
+                # score the END-TO-END volume (trilinear + decoded residual)
+                # against the thin ground truth — the number that must beat
+                # the trilinear baseline, which is logged alongside
+                e2e, cond = self._val_residual(
+                    self.state.params, self._put(batch["input"]), self._put(x)
+                )
+                recon, cond = np.asarray(e2e), np.asarray(cond)
+                tri_psnrs.append(
+                    float(psnr(
+                        jnp.asarray(from_model_range(cond)),
+                        jnp.asarray(from_model_range(np.asarray(x))),
+                    ))
+                )
+            else:
+                recon = np.asarray(self._reconstruct(self.state.params, self._put(x)))
             losses.append(float(np.mean((recon - x) ** 2)))
             m = calculate_video_metrics(from_model_range(recon), from_model_range(x))
             psnrs.append(m["psnr"])
@@ -231,6 +301,8 @@ class VAETrainer:
             "val_psnr": float(np.mean(psnrs)) if psnrs else float("nan"),
             "val_ssim": float(np.mean(ssims)) if ssims else float("nan"),
         }
+        if tri_psnrs:
+            out["val_psnr_trilinear"] = float(np.mean(tri_psnrs))
         for k, v in out.items():
             self.writer.add_scalar(f"vae_val/{k}", v, self.global_step)
         return out
