@@ -54,12 +54,30 @@ def main(argv=None):
         params = params["vae"]
     encode = jax.jit(lambda x: vae.apply({"params": params}, x, method=vae.encode))
 
+    if m.residual_mode:
+        # residual mode: the VAE encodes (thin - trilinear(thick)) * gain,
+        # so that's the distribution whose latent std sets the scale
+        from video_to_video_diffusion_tpu.ops.resize import resize_trilinear
+
+        gain = m.residual_gain
+
+        def _residual(thick, thin):
+            cond = resize_trilinear(
+                thick.astype(jnp.float32), (thin.shape[1], thin.shape[2], thin.shape[3])
+            )
+            return (thin.astype(jnp.float32) - cond) * gain
+
+        residual = jax.jit(_residual)
+
     loader = get_unified_dataloader(cfg, "train")
     stds, means = [], []
     for i, batch in enumerate(loader):
         if i >= args.num_batches:
             break
-        z = np.asarray(encode(jnp.asarray(batch["target"])))
+        x = jnp.asarray(batch["target"])
+        if m.residual_mode:
+            x = residual(jnp.asarray(batch["input"]), x)
+        z = np.asarray(encode(x))
         stds.append(float(z.std()))
         means.append(float(z.mean()))
     std = float(np.mean(stds))

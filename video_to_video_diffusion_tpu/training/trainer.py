@@ -298,7 +298,7 @@ class Trainer:
         if self.val_loader is None:
             return {}
         num_samples = num_samples or t.patch_val_samples
-        losses, losses_ema, psnrs, ssims = [], [], [], []
+        losses, losses_ema, psnrs, ssims, tri_psnrs = [], [], [], [], []
         seen = 0
         ema = self.state.ema_params
         for batch, vkey in self._val_iter(max_batches=num_samples):
@@ -332,6 +332,24 @@ class Trainer:
                 )
                 psnrs.append(m["psnr"])
                 ssims.append(m["ssim"])
+                if getattr(self.model, "residual_mode", False):
+                    # log the trilinear baseline on the SAME patches: in
+                    # residual mode generation starts at this floor, so
+                    # patch_psnr < patch_psnr_trilinear flags a diffusion
+                    # stage that is subtracting value
+                    from video_to_video_diffusion_tpu.ops.resize import (
+                        resize_trilinear,
+                    )
+
+                    tri = np.clip(np.asarray(resize_trilinear(
+                        jnp.asarray(batch["input"], jnp.float32),
+                        (target_depth, batch["input"].shape[2], batch["input"].shape[3]),
+                    )), -1.0, 1.0)
+                    m_tri = calculate_video_metrics(
+                        from_model_range(tri),
+                        from_model_range(np.asarray(batch["target"])),
+                    )
+                    tri_psnrs.append(m_tri["psnr"])
             seen += batch["input"].shape[0]
             if seen >= num_samples:
                 break
@@ -352,6 +370,8 @@ class Trainer:
         if psnrs:
             out["patch_psnr"] = float(np.mean(psnrs))
             out["patch_ssim"] = float(np.mean(ssims))
+        if tri_psnrs:
+            out["patch_psnr_trilinear"] = float(np.mean(tri_psnrs))
         for k, v in out.items():
             self.writer.add_scalar(f"val/{k}", v, self.global_step)
         return out
