@@ -48,7 +48,16 @@ def main(argv=None) -> int:
     params = restored.get("params", restored)
     meta = dict(meta)
     meta["snapshot_of"] = os.path.abspath(args.checkpoint)
-    state = restored if args.full else {"params": params}
+    if args.full:
+        state = restored
+    else:
+        # Keep the EMA average alongside the live params: diffusion
+        # checkpoints store both, metadata 'best_weights' may record that
+        # the EMA side won best-checkpoint selection, and a params-only
+        # snapshot would silently preserve the losing weights.
+        state = {"params": params}
+        if isinstance(restored, dict) and restored.get("ema_params") is not None:
+            state["ema_params"] = restored["ema_params"]
     save_checkpoint(args.out, state, meta)
     n = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(json.dumps({"out": args.out, "params": int(n),

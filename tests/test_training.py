@@ -463,3 +463,29 @@ def test_tier2_scores_raw_and_ema_and_selects_min(tmp_path):
     out0 = tr0.validate_patches(num_samples=2)
     assert "patch_loss_ema" not in out0
     assert out0["patch_loss"] == out0["patch_loss_raw"]
+
+
+def test_tier2_generation_scores_winning_side(tmp_path):
+    """patch_psnr must report the side (raw vs EMA) that won best-checkpoint
+    selection — the saved weights — not unconditionally the EMA average
+    (VERDICT r3 weak #4: during EMA warmup the logged metric understated
+    the checkpoint that was actually saved)."""
+    cfg = _tiny_cfg(tmp_path, **{"training.ema_decay": 0.999})
+    model = VideoToVideoDiffusion(cfg)
+    tr = Trainer(
+        model, cfg,
+        get_unified_dataloader(cfg, "train"), get_unified_dataloader(cfg, "val"),
+    )
+    # wreck the EMA side so raw must win the loss min
+    tr.state = tr.state.replace(
+        ema_params=jax.tree_util.tree_map(
+            lambda x: x + 0.5 * jnp.ones_like(x), tr.state.params
+        )
+    )
+    out = tr.validate_patches(num_samples=2, generate=True)
+    assert tr._last_best_weights == "raw"
+    assert {"patch_psnr", "patch_psnr_raw", "patch_psnr_ema"} <= set(out)
+    # both sides logged, and the headline metric equals the winning side
+    assert out["patch_psnr"] == out["patch_psnr_raw"]
+    assert out["patch_ssim"] == out["patch_ssim_raw"]
+    assert np.isfinite(out["patch_psnr_ema"])

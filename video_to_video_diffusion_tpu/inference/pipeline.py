@@ -488,20 +488,27 @@ def generate_volume(
 
     # ---- encode (chunked) ----
     residual = getattr(model, "residual_mode", False)
-    cond_up = None
     if residual:
         # pixel-space conditioning: per-patch trilinear upsample to the thin
-        # grid + space-to-depth fold; the upsampled pixels are kept for the
-        # decode stage's residual recomposition (one cached jit, no params)
+        # grid + space-to-depth fold, chunked by vae_batch like the encode
+        # path it replaces — jitting over ALL Np patches at once put
+        # Np*td*ph*pw f32 resize intermediates in HBM at the same time
+        # (multi-GB on large CT series; ADVICE r3). The upsampled pixels are
+        # NOT kept across the sample stage: the decode stage recomputes them
+        # per chunk (a trilinear resize is ~free next to the VAE decoder).
         cond = _cached(
-            "cond_vol", (id(model), pd, ph, pw, C, td),
+            "cond_vol", (id(model), vae_batch, pd, ph, pw, C, td),
             lambda: jax.jit(
-                lambda v: (
-                    lambda cu: (cu, space_to_depth(cu, model.spatial_factor))
-                )(model.cond_pixels(jnp.nan_to_num(v.astype(jnp.float32)), td))
+                lambda v: space_to_depth(
+                    model.cond_pixels(jnp.nan_to_num(v.astype(jnp.float32)), td),
+                    model.spatial_factor,
+                )
             ),
         )
-        cond_up, z_in = cond(patches)
+        z_chunks = [
+            cond(patches[i : i + vae_batch]) for i in range(0, Np, vae_batch)
+        ]
+        z_in = jnp.concatenate(z_chunks, axis=0)
     else:
         enc = _cached(
             "encode", (id(model), vae_batch, pd, ph, pw, C),
@@ -525,16 +532,21 @@ def generate_volume(
     # ---- decode (chunked) ----
     dec_params, decode = _decode_params_and_apply(model, params, quant_vae)
     if residual:
+        # cond_up is recomputed from the thick patches inside the decode jit
+        # (fused with the decoder) instead of pinned in HBM across the whole
+        # sample stage — see the cond stage comment above.
         dec = _cached(
-            "decode_res", (id(model), quant_vae, vae_batch) + tuple(z0.shape[1:]),
+            "decode_res_from_thick",
+            (id(model), quant_vae, vae_batch, td) + tuple(z0.shape[1:]),
             lambda: jax.jit(
-                lambda p, z, cu: model.compose_residual(
-                    cu, decode(p, z).astype(jnp.float32)
+                lambda p, z, v: model.compose_residual(
+                    model.cond_pixels(jnp.nan_to_num(v.astype(jnp.float32)), td),
+                    decode(p, z).astype(jnp.float32),
                 )
             ),
         )
         thin_chunks = [
-            dec(dec_params, z0[i : i + vae_batch], cond_up[i : i + vae_batch])
+            dec(dec_params, z0[i : i + vae_batch], patches[i : i + vae_batch])
             for i in range(0, Np, vae_batch)
         ]
     else:

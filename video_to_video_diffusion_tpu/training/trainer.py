@@ -117,6 +117,18 @@ class Trainer:
         # recorded in checkpoint metadata so eval tooling scores the side
         # the best checkpoint was actually selected on
         self._last_best_weights = "raw"
+        # Tier-2 trilinear-baseline metrics, memoized per pinned val batch
+        # (they never change across epochs); the resize is jitted once —
+        # an eager resize on the tunneled TPU is a per-op remote dispatch.
+        self._tri_metric_cache = []
+        from video_to_video_diffusion_tpu.ops.resize import resize_trilinear
+
+        self._jit_tri_resize = jax.jit(
+            lambda x, td: resize_trilinear(
+                x.astype(jnp.float32), (td, x.shape[2], x.shape[3])
+            ),
+            static_argnums=(1,),
+        )
 
     # ------------------------------------------------------------ two-phase
     def set_phase(self, phase: int) -> None:
@@ -195,6 +207,7 @@ class Trainer:
         t = self.config.training
         accum = max(t.gradient_accumulation_steps, 1)
         losses = []
+        log_pending = []  # (step, device loss, device grad_norm)
         data_time = step_time = 0.0
         t_last = time.time()
         for i, batch in enumerate(self.train_loader):
@@ -209,17 +222,28 @@ class Trainer:
             self._micro_step += 1
             self.global_step = self._micro_step // accum
             if t.log_interval and (i % t.log_interval == 0):
-                lr = float(self.lr_schedule(self.global_step))
-                self.writer.add_scalar("train/loss", float(metrics["loss"]), self.global_step)
-                self.writer.add_scalar("train/lr", lr, self.global_step)
-                self.writer.add_scalar(
-                    "train/grad_norm", float(metrics["grad_norm"]), self.global_step
+                # defer: float()-ing device scalars here costs a relay
+                # round-trip each (~0.5 s); flushed in one readback below
+                log_pending.append(
+                    (self.global_step, metrics["loss"], metrics["grad_norm"])
                 )
             t_last = time.time()
         # ONE batched readback: float()-ing the per-step scalars one by one
         # costs a full relay round-trip EACH over a tunneled TPU backend —
         # measured ~450 s for an 876-step epoch (vs ~170 s of everything
         # else) on the round-3 quality run before this fix.
+        if log_pending:
+            steps = [s for s, _, _ in log_pending]
+            flat = np.asarray(
+                jnp.stack([jnp.stack((l, g)) for _, l, g in log_pending])
+            )
+            # one vectorized schedule eval (the schedule is jnp ops — calling
+            # it per-step with a Python int would run eagerly on the TPU)
+            lrs = np.asarray(self.lr_schedule(jnp.asarray(steps)))
+            for (step, (loss_v, gnorm_v), lr_v) in zip(steps, flat, lrs):
+                self.writer.add_scalar("train/loss", float(loss_v), step)
+                self.writer.add_scalar("train/lr", float(lr_v), step)
+                self.writer.add_scalar("train/grad_norm", float(gnorm_v), step)
         return {
             "loss": float(jnp.stack(losses).mean()) if losses else float("nan"),
             "data_time": data_time,
@@ -298,7 +322,8 @@ class Trainer:
         if self.val_loader is None:
             return {}
         num_samples = num_samples or t.patch_val_samples
-        losses, losses_ema, psnrs, ssims, tri_psnrs = [], [], [], [], []
+        losses, losses_ema = [], []
+        kept = []  # (batch, vkey) replay list for the generation pass
         seen = 0
         ema = self.state.ema_params
         for batch, vkey in self._val_iter(max_batches=num_samples):
@@ -311,45 +336,7 @@ class Trainer:
             losses.append(self._eval_loss(self.state.params, batch, vkey))
             if ema is not None:
                 losses_ema.append(self._eval_loss(ema, batch, vkey))
-            if generate:
-                # staged_generate, NOT a monolithic jit of model.generate:
-                # the fused encode+DDIM+decode program takes tens of minutes
-                # to compile through the remote TPU tunnel, while the staged
-                # jits are shared with the pipeline/eval scripts and the
-                # persistent compilation cache (see inference/pipeline.py).
-                from video_to_video_diffusion_tpu.inference.pipeline import (
-                    staged_generate,
-                )
-
-                target_depth = batch["target"].shape[1]
-                gen = staged_generate(
-                    self.model, self.eval_params, batch["input"], vkey,
-                    num_inference_steps=20, target_depth=target_depth,
-                )
-                m = calculate_video_metrics(
-                    from_model_range(np.asarray(gen)),
-                    from_model_range(np.asarray(batch["target"])),
-                )
-                psnrs.append(m["psnr"])
-                ssims.append(m["ssim"])
-                if getattr(self.model, "residual_mode", False):
-                    # log the trilinear baseline on the SAME patches: in
-                    # residual mode generation starts at this floor, so
-                    # patch_psnr < patch_psnr_trilinear flags a diffusion
-                    # stage that is subtracting value
-                    from video_to_video_diffusion_tpu.ops.resize import (
-                        resize_trilinear,
-                    )
-
-                    tri = np.clip(np.asarray(resize_trilinear(
-                        jnp.asarray(batch["input"], jnp.float32),
-                        (target_depth, batch["input"].shape[2], batch["input"].shape[3]),
-                    )), -1.0, 1.0)
-                    m_tri = calculate_video_metrics(
-                        from_model_range(tri),
-                        from_model_range(np.asarray(batch["target"])),
-                    )
-                    tri_psnrs.append(m_tri["psnr"])
+            kept.append((batch, vkey))
             seen += batch["input"].shape[0]
             if seen >= num_samples:
                 break
@@ -367,11 +354,68 @@ class Trainer:
             if losses_ema and out["patch_loss"] == out.get("patch_loss_ema")
             else "raw"
         )
-        if psnrs:
-            out["patch_psnr"] = float(np.mean(psnrs))
-            out["patch_ssim"] = float(np.mean(ssims))
-        if tri_psnrs:
-            out["patch_psnr_trilinear"] = float(np.mean(tri_psnrs))
+        if generate and kept:
+            # Generation metrics are scored on BOTH weight sides (cheap:
+            # the staged jits are shared), and `patch_psnr` reports the side
+            # that won the loss min above — the side save_checkpoint records
+            # as 'best_weights'. Scoring only eval_params (= EMA) here used
+            # to understate the saved checkpoint during EMA warmup, the
+            # exact measured failure of round 2 (11.88 vs 12.97 dB).
+            sides = {"raw": self.state.params}
+            if ema is not None:
+                sides["ema"] = ema
+            gen_psnrs = {name: [] for name in sides}
+            gen_ssims = {name: [] for name in sides}
+            from video_to_video_diffusion_tpu.inference.pipeline import (
+                staged_generate,
+            )
+
+            for bi, (batch, vkey) in enumerate(kept):
+                target_depth = batch["target"].shape[1]
+                target_host = from_model_range(np.asarray(batch["target"]))
+                for name, params in sides.items():
+                    # staged_generate, NOT a monolithic jit of
+                    # model.generate: the fused encode+DDIM+decode program
+                    # takes tens of minutes to compile through the remote
+                    # TPU tunnel, while the staged jits are shared with the
+                    # pipeline/eval scripts and the persistent cache.
+                    gen = staged_generate(
+                        self.model, params, batch["input"], vkey,
+                        num_inference_steps=20, target_depth=target_depth,
+                    )
+                    m = calculate_video_metrics(
+                        from_model_range(np.asarray(gen)), target_host
+                    )
+                    gen_psnrs[name].append(m["psnr"])
+                    gen_ssims[name].append(m["ssim"])
+                if getattr(self.model, "residual_mode", False):
+                    # trilinear baseline on the SAME patches: in residual
+                    # mode generation starts at this floor, so patch_psnr <
+                    # patch_psnr_trilinear flags a diffusion stage that is
+                    # subtracting value. The val draws are pinned
+                    # (_val_iter), so this constant is computed once per
+                    # run and memoized — recomputing it ran an eager
+                    # (unjitted) resize on the TPU every epoch.
+                    while len(self._tri_metric_cache) <= bi:
+                        self._tri_metric_cache.append(None)
+                    if self._tri_metric_cache[bi] is None:
+                        tri = np.clip(np.asarray(self._jit_tri_resize(
+                            batch["input"], target_depth
+                        )), -1.0, 1.0)
+                        self._tri_metric_cache[bi] = calculate_video_metrics(
+                            from_model_range(tri), target_host
+                        )
+            win = self._last_best_weights if self._last_best_weights in gen_psnrs else "raw"
+            out["patch_psnr"] = float(np.mean(gen_psnrs[win]))
+            out["patch_ssim"] = float(np.mean(gen_ssims[win]))
+            for name in sides:
+                out[f"patch_psnr_{name}"] = float(np.mean(gen_psnrs[name]))
+                out[f"patch_ssim_{name}"] = float(np.mean(gen_ssims[name]))
+            tri_ms = [m for m in self._tri_metric_cache[: len(kept)] if m]
+            if tri_ms:
+                out["patch_psnr_trilinear"] = float(
+                    np.mean([m["psnr"] for m in tri_ms])
+                )
         for k, v in out.items():
             self.writer.add_scalar(f"val/{k}", v, self.global_step)
         return out
