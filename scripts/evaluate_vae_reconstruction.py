@@ -53,7 +53,7 @@ def main(argv=None):
     vae = SliceInterpolationVAE(
         in_channels=m.in_channels, latent_dim=m.latent_dim,
         base_channels=m.vae_base_channels, scaling_factor=m.vae_scaling_factor,
-        num_down_stages=m.vae_num_down_stages,
+        num_down_stages=m.vae_num_down_stages, output_tanh=m.vae_output_tanh,
     )
     restored, _ = load_checkpoint(args.checkpoint)
     params = restored["params"]

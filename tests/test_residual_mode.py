@@ -144,3 +144,36 @@ def test_residual_vae_trainer_end_to_end_metric():
     # (or beats) the baseline
     assert "val_psnr_trilinear" in val
     assert val["val_psnr"] >= val["val_psnr_trilinear"] - 0.1
+
+
+def test_output_tanh_off_preserves_floor_and_unbounds_decoder():
+    """model.vae_output_tanh: false (ADVICE r3) — the zero-init floor must
+    survive (a zero conv emits 0 with or without tanh) and the decoder must
+    be able to represent residuals beyond +/-1."""
+    cfg = {k: dict(v) for k, v in CFG.items()}
+    cfg["model"]["vae_output_tanh"] = False
+    m = VideoToVideoDiffusion(cfg)
+    key = jax.random.PRNGKey(7)
+    params = m.init(key, patch_shape=(4, 16, 16), batch=1)
+    v_in = jax.random.uniform(key, (1, 4, 16, 16, 1), minval=-1, maxval=1)
+    out = m.generate(params, v_in, key, sampler="ddim", num_inference_steps=4,
+                     target_depth=12)
+    tri = jnp.clip(resize_trilinear(v_in, (12, 16, 16)), -1, 1)
+    assert float(jnp.abs(out - tri).max()) == 0.0
+
+    # un-zero the output conv bias: without tanh the decoder emits values
+    # beyond the +/-1 bound; with tanh the same params are capped below 1
+    big = jax.tree_util.tree_map(lambda x: x, params)
+    big["vae"]["decoder"]["conv_out"]["bias"] = (
+        jnp.ones_like(big["vae"]["decoder"]["conv_out"]["bias"]) * 3.0
+    )
+    z = jnp.zeros((1, 12, 4, 4, cfg["model"]["latent_dim"]), jnp.float32)
+    dec_free = m.decode(big, z)
+    assert float(dec_free.max()) > 1.5
+
+    m_tanh = VideoToVideoDiffusion(CFG)
+    dec_capped = m_tanh.decode(big, z)
+    assert float(jnp.abs(dec_capped).max()) <= 1.0
+    np.testing.assert_allclose(
+        np.asarray(dec_capped), np.tanh(np.asarray(dec_free)), atol=1e-5
+    )

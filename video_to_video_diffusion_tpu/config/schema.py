@@ -73,6 +73,13 @@ class ModelConfig:
     # remains the default).
     residual_mode: bool = False
     residual_gain: float = 4.0
+    # tanh-bound the VAE decoder output (reference vae.py:203). Keep True for
+    # full-signal CT (targets live in [-1,1]); set False for residual-mode
+    # VAEs, whose targets (thin - trilinear) * residual_gain exceed the bound
+    # at sharp depth boundaries (ADVICE r3 — the capped corrections are the
+    # exact voxels trilinear gets wrong). The trained vae_res3 checkpoint
+    # predates the knob and uses True.
+    vae_output_tanh: bool = True
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "ModelConfig":
@@ -95,6 +102,7 @@ class ModelConfig:
             prediction_type=str(_pick(d, "prediction_type", default="epsilon")),
             residual_mode=bool(_pick(d, "residual_mode", default=False)),
             residual_gain=float(_pick(d, "residual_gain", default=4.0)),
+            vae_output_tanh=bool(_pick(d, "vae_output_tanh", default=True)),
         )
 
 

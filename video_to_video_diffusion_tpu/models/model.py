@@ -68,6 +68,7 @@ class VideoToVideoDiffusion:
                 num_down_stages=m.vae_num_down_stages,
                 dtype=dtype,
                 zero_init_out=m.residual_mode,
+                output_tanh=m.vae_output_tanh,
             )
             unet = UNet3D(
                 latent_dim=m.latent_dim,

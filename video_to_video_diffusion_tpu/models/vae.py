@@ -88,6 +88,14 @@ class VideoDecoder(nn.Module):
     # initialized decoder emits exactly 0 and the composite's end-to-end
     # output starts at the trilinear-interpolation baseline.
     zero_init_out: bool = False
+    # Bound the output to [-1, 1] with tanh (reference vae.py:203). CT
+    # volumes live in [-1, 1] so the bound is free there, but residual-mode
+    # targets (thin - trilinear) * residual_gain can exceed +/-1 at sharp
+    # depth boundaries — exactly the voxels trilinear gets wrong — making
+    # large corrections unrepresentable (ADVICE r3). Residual VAEs should
+    # train with model.vae_output_tanh: false (zero-init alone preserves the
+    # exact-trilinear start: a zero conv emits 0 with or without tanh).
+    output_tanh: bool = True
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
@@ -109,6 +117,8 @@ class VideoDecoder(nn.Module):
             self.out_channels, 3, 1, 1, dtype=self.dtype, name="conv_out",
             zero_init=self.zero_init_out,
         )(h)
+        if not self.output_tanh:
+            return h
         # Bound to [-1, 1] in f32 (vae.py:203)
         return jnp.tanh(h.astype(jnp.float32)).astype(h.dtype)
 
@@ -129,6 +139,7 @@ class SliceInterpolationVAE(nn.Module):
     quant_dec_int8: bool = False
     quant_static: bool = False
     zero_init_out: bool = False
+    output_tanh: bool = True  # see VideoDecoder.output_tanh
 
     def setup(self):
         bottleneck = max(8, self.latent_dim)
@@ -150,6 +161,7 @@ class SliceInterpolationVAE(nn.Module):
             quant_static=self.quant_static,
             bottleneck_channels=bottleneck,
             zero_init_out=self.zero_init_out,
+            output_tanh=self.output_tanh,
         )
 
     def encode(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -60,6 +60,7 @@ class VAETrainer:
                 use_checkpoint=self.config.hardware.gradient_checkpointing,
                 dtype=dtype,
                 zero_init_out=m.residual_mode,
+                output_tanh=m.vae_output_tanh,
             )
 
         # Residual mode (schema.ModelConfig.residual_mode): the VAE
