@@ -32,6 +32,13 @@ Env knobs:
   BENCH_QUANT_VAE  decode-stage precision: 'int8' runs the final VAE
                 decode on the w8a8 decoder (models/vae.py quant_int8);
                 default off (trained precision).
+  BENCH_QUANT_ATTN 1 = run the attention matmuls (q@k^T, attn@v) on the
+                int8 MXU path too (model.quant_attention_matmuls; only
+                meaningful with BENCH_QUANT int8/int8_static).
+  BENCH_RESIDUAL 1 = run the benchmark geometry through the residual-mode
+                model (trilinear conditioning + residual decode) — the
+                deployed configuration when the trained checkpoint is a
+                residual model (VERDICT r3 #4).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -92,6 +99,14 @@ def main() -> None:
         vol_hw, patch_hw, stride_hw = 512, 192, 96
         pd_thick, pd_thin = 8, 48
         d_thick = 8
+
+    cfg_d = cfg.to_dict()
+    if os.environ.get("BENCH_QUANT_ATTN") == "1":
+        cfg_d["model"]["quant_attention_matmuls"] = True
+    residual = os.environ.get("BENCH_RESIDUAL") == "1"
+    if residual:
+        cfg_d["model"]["residual_mode"] = True
+    cfg = load_config(cfg_d)
 
     model = VideoToVideoDiffusion(cfg)
     key = jax.random.PRNGKey(0)
@@ -242,6 +257,10 @@ def main() -> None:
         result["quant"] = quant
     if quant_vae:
         result["quant_vae"] = quant_vae
+    if os.environ.get("BENCH_QUANT_ATTN") == "1":
+        result["quant_attn"] = True
+    if residual:
+        result["residual_mode"] = True
     print(json.dumps(result))
     print(
         f"# shape={tuple(out.shape)} steps={steps} vae_batch={vae_batch} "

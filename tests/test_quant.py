@@ -356,3 +356,51 @@ def test_quant_vae_unknown_mode_raises(tiny):
     qp1, d1 = _decode_params_and_apply(model, params, "int8")
     qp2, d2 = _decode_params_and_apply(model, params, "int8")
     assert qp1 is qp2 and d1 == d2 == model.decode_q
+
+
+def test_unet_int8_attention_matmuls_close_and_calibratable(tiny):
+    """quant_attention_matmuls: the q@k^T / attn@v einsums run int8 (VERDICT
+    r3 #6). Dynamic output must stay close to the projections-only int8
+    path; static calibration must add amax_q/k/v sites and reproduce the
+    dynamic trajectory's output shape/finiteness."""
+    import dataclasses
+
+    from flax.traverse_util import flatten_dict
+
+    model, params = tiny
+    qparams = jax.jit(model.quantize_unet_params)(params)
+    z = jax.random.normal(jax.random.PRNGKey(9), (2, 8, 8, 8, model.latent_dim))
+    t = jnp.array([3, 7], jnp.int32)
+    base = model.apply_unet_q(qparams, z, t, z)
+
+    unet_mm = dataclasses.replace(model.unet_int8, quant_matmuls=True)
+    out = unet_mm.apply({"params": qparams["unet"]}, z, t, z)
+    rel = np.linalg.norm(np.asarray(out - base, np.float32)) / np.linalg.norm(
+        np.asarray(base, np.float32)
+    )
+    assert rel < 0.15, rel
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+    # static variant: calibration records the three new per-attention sites
+    unet_mm_static = dataclasses.replace(
+        model.unet_int8_static, quant_matmuls=True
+    )
+    scales0 = jax.eval_shape(
+        lambda: unet_mm_static.init(
+            jax.random.PRNGKey(0), z, t, z
+        )["act_scales"]
+    )
+    scales0 = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), scales0)
+    eps_obs, upd = unet_mm_static.apply(
+        {"params": qparams["unet"], "act_scales": scales0},
+        z, t, z, mutable=["act_scales"],
+    )
+    flat = flatten_dict(upd["act_scales"])
+    names = {p[-1] for p in flat}
+    assert {"amax_q", "amax_k", "amax_v"} <= names
+    assert all(float(l) > 0.0 for l in jax.tree_util.tree_leaves(upd["act_scales"]))
+    out_static = unet_mm_static.apply(
+        {"params": qparams["unet"], "act_scales": upd["act_scales"]}, z, t, z
+    )
+    assert out_static.shape == base.shape
+    assert np.isfinite(np.asarray(out_static, np.float32)).all()

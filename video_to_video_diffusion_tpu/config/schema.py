@@ -80,6 +80,12 @@ class ModelConfig:
     # exact voxels trilinear gets wrong). The trained vae_res3 checkpoint
     # predates the knob and uses True.
     vae_output_tanh: bool = True
+    # Run the attention matmuls (q@k^T logits, attn@v) on the int8 MXU path
+    # when the UNet is quantized (pipeline quant='int8'/'int8_static') — the
+    # projections are always int8 there; this extends it to the attention
+    # math itself (softmax stays f32). Off by default until measured
+    # quality-neutral on a trained checkpoint (VERDICT r3 #6).
+    quant_attention_matmuls: bool = False
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "ModelConfig":
@@ -103,6 +109,9 @@ class ModelConfig:
             residual_mode=bool(_pick(d, "residual_mode", default=False)),
             residual_gain=float(_pick(d, "residual_gain", default=4.0)),
             vae_output_tanh=bool(_pick(d, "vae_output_tanh", default=True)),
+            quant_attention_matmuls=bool(
+                _pick(d, "quant_attention_matmuls", default=False)
+            ),
         )
 
 

@@ -91,12 +91,15 @@ class VideoToVideoDiffusion:
         # w8a8 int8 inference variant of the UNet (opt-in via the pipeline's
         # quant='int8'): same architecture, heavy convs on the MXU's 2x int8
         # path (ops/quant.py). Params for it come from quantize_unet_params.
-        self.unet_int8 = dataclasses.replace(self.unet, quant_int8=True)
+        self.unet_int8 = dataclasses.replace(
+            self.unet, quant_int8=True, quant_matmuls=m.quant_attention_matmuls
+        )
         # static-activation-scale variant (quant='int8_static'): same int8
         # param tree, plus an 'act_scales' variable collection of calibrated
         # per-site abs-max values (ops/quant.quantize_activation_static).
         self.unet_int8_static = dataclasses.replace(
-            self.unet, quant_int8=True, quant_static=True
+            self.unet, quant_int8=True, quant_static=True,
+            quant_matmuls=m.quant_attention_matmuls,
         )
         # w8a8 decoder variant (pipeline quant_vae='int8'): the decode stage
         # is the second-heaviest part of full-volume generation (~540 of
