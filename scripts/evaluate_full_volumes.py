@@ -62,6 +62,23 @@ def main(argv=None):
                          "pad 10 -> 16 slices of wasted compute)")
     ap.add_argument("--oracle", action="store_true",
                     help="also score the clean signal (synthetic cache only)")
+    ap.add_argument("--avg-samples", type=int, default=1,
+                    help="average K independent generations (different PRNG "
+                         "keys) before scoring. PSNR scores the conditional "
+                         "MEAN, but a diffusion model SAMPLES — each sample "
+                         "carries fresh unpredictable noise (the synthetic "
+                         "target's sigma=8 HU) that averaging cancels: "
+                         "MSE ~ sigma^2(1+1/K) vs 2 sigma^2 at K=1")
+    ap.add_argument("--residual-scale", type=float, default=1.0,
+                    help="residual-mode shrinkage: score tri + s*(gen - tri) "
+                         "(generation is affine in the decoded residual, so "
+                         "this is exact post-hoc). s=0 IS the trilinear "
+                         "baseline; the PSNR-optimal s trades unpredictable "
+                         "sampled noise against systematic correction. "
+                         "Calibrate on --split val, apply on test")
+    ap.add_argument("--residual-scale-sweep", action="store_true",
+                    help="report the PSNR over a grid of residual scales "
+                         "(calibration mode; use on the val split)")
     ap.add_argument("--output", default="full_vol_eval")
     args = ap.parse_args(argv)
 
@@ -117,24 +134,27 @@ def main(argv=None):
         D_thin = thin.shape[0]
         want_thick = -(-D_thin // ratio)
         thick_rs = linear_resample_depth(thick, want_thick)
-        out = generate_volume(
-            model, params, jnp.asarray(thick_rs)[None],
-            jax.random.fold_in(key, i),
-            num_inference_steps=args.steps,
-            patch_size=(d.patch_depth_thick, *d.patch_size),
-            target_patch_size=(d.patch_depth_thin, *d.patch_size),
-            stride=(
-                max(d.patch_depth_thick // 2, 1),
-                d.patch_size[0] // 2,
-                d.patch_size[1] // 2,
-            ),
-            vae_batch=args.vae_batch, eta=args.eta, sampler=args.sampler,
-            quant=args.quant, quant_vae=args.quant_vae,
-            depth_bucket=args.depth_bucket or None,
-        )
-        gen = np.asarray(out, np.float32)[0, :D_thin]
+        acc = None
+        for k in range(max(args.avg_samples, 1)):
+            out = generate_volume(
+                model, params, jnp.asarray(thick_rs)[None],
+                jax.random.fold_in(jax.random.fold_in(key, i), k),
+                num_inference_steps=args.steps,
+                patch_size=(d.patch_depth_thick, *d.patch_size),
+                target_patch_size=(d.patch_depth_thin, *d.patch_size),
+                stride=(
+                    max(d.patch_depth_thick // 2, 1),
+                    d.patch_size[0] // 2,
+                    d.patch_size[1] // 2,
+                ),
+                vae_batch=args.vae_batch, eta=args.eta, sampler=args.sampler,
+                quant=args.quant, quant_vae=args.quant_vae,
+                depth_bucket=args.depth_bucket or None,
+            )
+            o = np.asarray(out, np.float32)[0, :D_thin]
+            acc = o if acc is None else acc + o
+        gen = acc / max(args.avg_samples, 1)
         tgt01 = from_model_range(thin[None])
-        m_gen = calculate_video_metrics(from_model_range(gen[None]), tgt01)
 
         tri = np.asarray(
             resize_trilinear(
@@ -143,11 +163,23 @@ def main(argv=None):
         )[0]
         m_tri = calculate_video_metrics(from_model_range(tri[None]), tgt01)
 
+        residual = bool(getattr(model, "residual_mode", False))
+        gen_raw = gen
+        if residual and args.residual_scale != 1.0:
+            s = args.residual_scale
+            gen = np.clip(tri + s * (gen_raw - tri), -1.0, 1.0)
+        m_gen = calculate_video_metrics(from_model_range(gen[None]), tgt01)
+
         row = {
             "case": sample["patient_id"],
             "gen_psnr": m_gen["psnr"], "gen_ssim": m_gen["ssim"],
             "trilinear_psnr": m_tri["psnr"], "trilinear_ssim": m_tri["ssim"],
         }
+        if residual and args.residual_scale_sweep:
+            for s in (0.0, 0.25, 0.5, 0.75, 1.0, 1.25, 1.5):
+                g = np.clip(tri + s * (gen_raw - tri), -1.0, 1.0)
+                m_s = calculate_video_metrics(from_model_range(g[None]), tgt01)
+                row[f"gen_psnr@s={s}"] = m_s["psnr"]
         if args.oracle and sample["patient_id"].startswith("SYN__"):
             from video_to_video_diffusion_tpu.data.synthetic import (
                 synthetic_patient_pair,
@@ -181,6 +213,8 @@ def main(argv=None):
         "steps": args.steps, "sampler": args.sampler,
         "params": "ema" if use_ema else "raw",
         "quant": args.quant, "quant_vae": args.quant_vae,
+        "avg_samples": args.avg_samples,
+        "residual_scale": args.residual_scale,
         "gen_psnr_mean": _mean("gen_psnr"), "gen_ssim_mean": _mean("gen_ssim"),
         "trilinear_psnr_mean": _mean("trilinear_psnr"),
         "trilinear_ssim_mean": _mean("trilinear_ssim"),
@@ -190,6 +224,15 @@ def main(argv=None):
             (_mean("gen_psnr") or 0) > (_mean("trilinear_psnr") or float("inf"))
         ),
     }
+    sweep_keys = sorted(
+        {k for r in rows for k in r if k.startswith("gen_psnr@s=")},
+        key=lambda k: float(k.split("=")[1]),
+    )
+    if sweep_keys:
+        summary["scale_sweep"] = {k.split("@")[1]: _mean(k) for k in sweep_keys}
+        best = max(sweep_keys, key=lambda k: _mean(k) or -1e9)
+        summary["best_scale"] = float(best.split("=")[1])
+        summary["best_scale_psnr"] = _mean(best)
     os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
     with open(args.output + ".json", "w") as f:
         json.dump({"summary": summary, "per_case": rows}, f, indent=2)

@@ -294,6 +294,12 @@ class LossConfig:
     # Required when use_perceptual_loss (or the VAE trainer's use_lpips) is
     # on: the egress-less TPU host cannot download torchvision weights.
     perceptual_weights_path: str = ""
+    # Exact lpips.LPIPS(net='vgg') weights (.npz from
+    # scripts/convert_vgg_weights.py --lpips). When set, the VAE trainer's
+    # use_lpips runs the true LPIPS (vgg16 backbone + learned per-channel
+    # linear weights, models/perceptual.LPIPSLoss) instead of the VGG19
+    # feature-L1 stand-in above.
+    lpips_weights_path: str = ""
     use_ms_ssim_loss: bool = False
     lambda_ssim: float = 0.0
     ssim_every_n_steps: int = 10

@@ -44,6 +44,21 @@ DEFAULT_FEATURE_LAYERS = (2, 7, 12, 21, 30)
 _IMAGENET_MEAN = (0.485, 0.456, 0.406)
 _IMAGENET_STD = (0.229, 0.224, 0.225)
 
+# torchvision vgg16 `features` layout — the backbone of lpips.LPIPS(net='vgg')
+_VGG16_CFG = (
+    64, 64, "M",
+    128, 128, "M",
+    256, 256, 256, "M",
+    512, 512, 512, "M",
+    512, 512, 512, "M",
+)
+# lpips vgg16 taps: relu1_2, relu2_2, relu3_3, relu4_3, relu5_3
+LPIPS_VGG16_TAPS = (3, 8, 15, 22, 29)
+# lpips.pretrained_networks.ScalingLayer constants: input in [-1,1] is
+# normalized as (x - shift) / scale
+_LPIPS_SHIFT = (-0.030, -0.088, -0.188)
+_LPIPS_SCALE = (0.458, 0.448, 0.450)
+
 
 def vgg19_torchvision_indices() -> List[Tuple[int, str]]:
     """[(torchvision_index, 'conv'|'relu'|'pool')] for the features stack."""
@@ -61,14 +76,17 @@ def vgg19_torchvision_indices() -> List[Tuple[int, str]]:
 
 
 class VGG19Features(nn.Module):
-    """VGG19 feature taps. Input: (N, H, W, 3), already ImageNet-normalized.
+    """VGG feature taps. Input: (N, H, W, 3), already normalized.
 
     Conv parameters are named conv_<torchvision index> so a converted torch
     state dict maps 1:1. Layers beyond the deepest tap are never built.
+    Despite the name, `cfg` makes this generic over the VGG family — the
+    LPIPS path runs it with the vgg16 layout (_VGG16_CFG).
     """
 
     feature_layers: Tuple[int, ...] = DEFAULT_FEATURE_LAYERS
     dtype: Any = jnp.float32
+    cfg: Tuple = _VGG19_CFG
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
@@ -76,7 +94,7 @@ class VGG19Features(nn.Module):
         max_tap = max(taps)
         feats: List[jnp.ndarray] = []
         i = 0
-        for c in _VGG19_CFG:
+        for c in self.cfg:
             if i > max_tap:
                 break
             if c == "M":
@@ -207,5 +225,107 @@ class VGGPerceptualLoss:
     ) -> jnp.ndarray:
         """Middle-slice variant for VAE training (reference
         train_vae.py:76-96 computes LPIPS on D//2 only)."""
+        D = pred.shape[1]
+        return self(pred[:, D // 2 : D // 2 + 1], target[:, D // 2 : D // 2 + 1])
+
+
+def convert_lpips_lin_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """lpips.LPIPS(net='vgg') state dict -> {'lin0'..'lin4': (C,) f32}.
+
+    The lpips package stores its learned per-channel weights as 1x1 convs
+    ('lin<k>.model.1.weight', shape (1, C, 1, 1)); only these five tensors
+    are learned — the vgg16 backbone comes from torchvision and converts via
+    convert_torch_vgg19_state_dict (the key layout is identical).
+    """
+    lins: Dict[str, Any] = {}
+    for k, v in sd.items():
+        parts = k.split(".")
+        if parts[0].startswith("lin") and parts[-1] == "weight":
+            arr = np.asarray(v, np.float32).reshape(-1)
+            lins[parts[0]] = arr
+    if len(lins) != 5:
+        raise ValueError(
+            f"expected 5 lin layers (lin0..lin4), found {sorted(lins)} — is "
+            "this an lpips.LPIPS(net='vgg') state dict?"
+        )
+    return lins
+
+
+def save_lpips_params(
+    path: str, backbone: Dict[str, Any], lins: Dict[str, Any]
+) -> None:
+    flat = {}
+    for conv, leaves in backbone.items():
+        for leaf, arr in leaves.items():
+            flat[f"net/{conv}/{leaf}"] = np.asarray(arr, np.float32)
+    for name, arr in lins.items():
+        flat[f"lin/{name}"] = np.asarray(arr, np.float32)
+    np.savez_compressed(path if path.endswith(".npz") else path + ".npz", **flat)
+
+
+def load_lpips_params(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    backbone: Dict[str, Any] = {}
+    lins: Dict[str, Any] = {}
+    with np.load(path) as z:
+        for k in z.files:
+            parts = k.split("/")
+            if parts[0] == "net":
+                backbone.setdefault(parts[1], {})[parts[2]] = jnp.asarray(z[k])
+            elif parts[0] == "lin":
+                lins[parts[1]] = jnp.asarray(z[k])
+    if not backbone or len(lins) != 5:
+        raise ValueError(f"not an LPIPS .npz (net/* + 5 lin/*): {path}")
+    return backbone, lins
+
+
+class LPIPSLoss:
+    """Exact lpips.LPIPS(net='vgg') semantics (reference train_vae.py:56-96).
+
+    Forward (lpips/lpips.py): scale input by the ScalingLayer constants, run
+    the torchvision vgg16 taps (relu1_2/2_2/3_3/4_3/5_3), unit-normalize
+    each feature map along channels (eps 1e-10), square the difference, and
+    reduce each layer with its LEARNED per-channel linear weight (a frozen
+    1x1 conv) + spatial mean; the five layer scores sum. This replaces the
+    documented round-3 delta (plain VGG19 feature-L1 as the lpips stand-in).
+    Weights convert offline: scripts/convert_vgg_weights.py --lpips.
+    """
+
+    def __init__(self, backbone: Dict[str, Any], lins: Dict[str, Any]):
+        self.module = VGG19Features(
+            feature_layers=LPIPS_VGG16_TAPS, cfg=_VGG16_CFG
+        )
+        self.backbone = backbone
+        self.lins = [lins[f"lin{i}"] for i in range(5)]
+
+    def _to_lpips_input(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, D, H, W, 1) [-1,1] volumes -> (B*D, H, W, 3) scaled frames."""
+        B, D, H, W, C = x.shape
+        assert C == 1, "expected grayscale volumes (C=1)"
+        x = x.reshape(B * D, H, W, 1).astype(jnp.float32)
+        x = jnp.repeat(x, 3, axis=-1)  # grayscale -> RGB, still [-1,1]
+        shift = jnp.asarray(_LPIPS_SHIFT, jnp.float32)
+        scale = jnp.asarray(_LPIPS_SCALE, jnp.float32)
+        return (x - shift) / scale
+
+    def __call__(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        fp = self.module.apply({"params": self.backbone}, self._to_lpips_input(pred))
+        ft = jax.lax.stop_gradient(
+            self.module.apply({"params": self.backbone}, self._to_lpips_input(target))
+        )
+
+        def unit(f):
+            n = jnp.sqrt(jnp.sum(f * f, axis=-1, keepdims=True))
+            return f / (n + 1e-10)
+
+        total = jnp.float32(0.0)
+        for a, b, w in zip(fp, ft, self.lins):
+            d = (unit(a.astype(jnp.float32)) - unit(b.astype(jnp.float32))) ** 2
+            total = total + jnp.mean(jnp.sum(d * w, axis=-1))
+        return total
+
+    def middle_slice_loss(
+        self, pred: jnp.ndarray, target: jnp.ndarray
+    ) -> jnp.ndarray:
+        """The reference's usage: LPIPS on the middle slice only."""
         D = pred.shape[1]
         return self(pred[:, D // 2 : D // 2 + 1], target[:, D // 2 : D // 2 + 1])

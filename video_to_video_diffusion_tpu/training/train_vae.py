@@ -74,23 +74,35 @@ class VAETrainer:
         self.vae_f32 = _make_vae(jnp.float32)
         perceptual = None
         if t.use_lpips or t.lpips_weight > 0:
-            # TPU substitute for the reference's lpips.LPIPS(net='vgg')
-            # (train_vae.py:56-96): VGG19 feature-L1 on the middle slice
-            # (models/perceptual.py; weights converted offline).
-            path = self.config.losses.perceptual_weights_path
-            if not path:
-                raise ValueError(
-                    "training.use_lpips needs losses.perceptual_weights_path "
-                    "pointing at converted VGG19 weights "
-                    "(scripts/convert_vgg_weights.py); the TPU host cannot "
-                    "download torchvision checkpoints"
+            lpips_path = self.config.losses.lpips_weights_path
+            if lpips_path:
+                # exact lpips.LPIPS(net='vgg') (reference train_vae.py:56-96):
+                # vgg16 backbone + learned per-channel linear weights,
+                # converted offline (scripts/convert_vgg_weights.py --lpips)
+                from video_to_video_diffusion_tpu.models.perceptual import (
+                    LPIPSLoss,
+                    load_lpips_params,
                 )
-            from video_to_video_diffusion_tpu.models.perceptual import (
-                VGGPerceptualLoss,
-                load_vgg19_params,
-            )
 
-            perceptual = VGGPerceptualLoss(load_vgg19_params(path))
+                perceptual = LPIPSLoss(*load_lpips_params(lpips_path))
+            else:
+                # VGG19 feature-L1 stand-in (models/perceptual.py; the
+                # documented delta when no LPIPS weights are shipped)
+                path = self.config.losses.perceptual_weights_path
+                if not path:
+                    raise ValueError(
+                        "training.use_lpips needs losses.lpips_weights_path "
+                        "(exact LPIPS, scripts/convert_vgg_weights.py --lpips)"
+                        " or losses.perceptual_weights_path (VGG19 feature-L1"
+                        " stand-in); the TPU host cannot download torch "
+                        "checkpoints"
+                    )
+                from video_to_video_diffusion_tpu.models.perceptual import (
+                    VGGPerceptualLoss,
+                    load_vgg19_params,
+                )
+
+                perceptual = VGGPerceptualLoss(load_vgg19_params(path))
         self.criterion = AutoencoderLoss(
             use_ssim=t.use_ssim_loss,
             ssim_weight=t.ssim_loss_weight,
