@@ -79,6 +79,12 @@ def main(argv=None):
     ap.add_argument("--residual-scale-sweep", action="store_true",
                     help="report the PSNR over a grid of residual scales "
                          "(calibration mode; use on the val split)")
+    ap.add_argument("--patch-hw", type=int, default=0,
+                    help="override the spatial patch size (config "
+                         "data.patch_size). Needed when the processed cache's "
+                         "resolution differs from the config (the patch "
+                         "extractor truncates crops to the volume bounds, so "
+                         "training patches follow the CACHE, not the config)")
     ap.add_argument("--output", default="full_vol_eval")
     args = ap.parse_args(argv)
 
@@ -125,6 +131,9 @@ def main(argv=None):
                 args.checkpoint)
 
     ratio = d.patch_depth_thin // max(d.patch_depth_thick, 1)
+    patch_hw = tuple(d.patch_size)
+    if args.patch_hw:
+        patch_hw = (args.patch_hw, args.patch_hw)
     key = jax.random.PRNGKey(args.seed)
     rows = []
     for i in range(min(args.num_samples, len(ds))):
@@ -140,12 +149,12 @@ def main(argv=None):
                 model, params, jnp.asarray(thick_rs)[None],
                 jax.random.fold_in(jax.random.fold_in(key, i), k),
                 num_inference_steps=args.steps,
-                patch_size=(d.patch_depth_thick, *d.patch_size),
-                target_patch_size=(d.patch_depth_thin, *d.patch_size),
+                patch_size=(d.patch_depth_thick, *patch_hw),
+                target_patch_size=(d.patch_depth_thin, *patch_hw),
                 stride=(
                     max(d.patch_depth_thick // 2, 1),
-                    d.patch_size[0] // 2,
-                    d.patch_size[1] // 2,
+                    patch_hw[0] // 2,
+                    patch_hw[1] // 2,
                 ),
                 vae_batch=args.vae_batch, eta=args.eta, sampler=args.sampler,
                 quant=args.quant, quant_vae=args.quant_vae,
@@ -176,7 +185,7 @@ def main(argv=None):
             "trilinear_psnr": m_tri["psnr"], "trilinear_ssim": m_tri["ssim"],
         }
         if residual and args.residual_scale_sweep:
-            for s in (0.0, 0.25, 0.5, 0.75, 1.0, 1.25, 1.5):
+            for s in (0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.75, 1.0, 1.25):
                 g = np.clip(tri + s * (gen_raw - tri), -1.0, 1.0)
                 m_s = calculate_video_metrics(from_model_range(g[None]), tgt01)
                 row[f"gen_psnr@s={s}"] = m_s["psnr"]
@@ -189,9 +198,12 @@ def main(argv=None):
             )
 
             idx = int(sample["patient_id"].split("__")[1])
+            # regenerate at the CACHE's true geometry (the config's synthetic
+            # dims can drift from what the cache was actually built at — the
+            # stale-cache trap this round hit at 96^2 vs a 192^2 config)
             _, clean_hu = synthetic_patient_pair(
-                d.seed + idx, thin_depth=d.synthetic_thin_depth,
-                height=d.synthetic_height, width=d.synthetic_width,
+                d.seed + idx, thin_depth=D_thin,
+                height=thin.shape[1], width=thin.shape[2],
                 noise_sigma=0.0,
             )
             clean = apply_ct_windowing(
