@@ -79,6 +79,13 @@ def main(argv=None):
     ap.add_argument("--residual-scale-sweep", action="store_true",
                     help="report the PSNR over a grid of residual scales "
                          "(calibration mode; use on the val split)")
+    ap.add_argument("--init-scale", type=float, default=1.0,
+                    help="scale on the DDIM starting noise z_T. 1.0 = "
+                         "standard sampling; 0.0 starts the deterministic "
+                         "eta=0 trajectory at the prior mean — a one-pass "
+                         "conditional-mean readout (PSNR is minimized by "
+                         "the mean; compare against --avg-samples K, which "
+                         "approximates the same mean with K passes)")
     ap.add_argument("--patch-hw", type=int, default=0,
                     help="override the spatial patch size (config "
                          "data.patch_size). Needed when the processed cache's "
@@ -159,6 +166,7 @@ def main(argv=None):
                 vae_batch=args.vae_batch, eta=args.eta, sampler=args.sampler,
                 quant=args.quant, quant_vae=args.quant_vae,
                 depth_bucket=args.depth_bucket or None,
+                init_scale=args.init_scale,
             )
             o = np.asarray(out, np.float32)[0, :D_thin]
             acc = o if acc is None else acc + o
@@ -227,6 +235,7 @@ def main(argv=None):
         "quant": args.quant, "quant_vae": args.quant_vae,
         "avg_samples": args.avg_samples,
         "residual_scale": args.residual_scale,
+        "init_scale": args.init_scale,
         "gen_psnr_mean": _mean("gen_psnr"), "gen_ssim_mean": _mean("gen_ssim"),
         "trilinear_psnr_mean": _mean("trilinear_psnr"),
         "trilinear_ssim_mean": _mean("trilinear_ssim"),

@@ -132,12 +132,19 @@ def _sample_params_and_apply(model, params, quant):
     raise ValueError(f"Unknown quant mode {quant!r}; expected one of {_QUANT_MODES}")
 
 
-def _route_sampler(sampler: str, eps, schedule, key, shape, steps, eta):
+def _route_sampler(sampler: str, eps, schedule, key, shape, steps, eta,
+                   init_scale: float = 1.0):
     """One sampler dispatch for both pipelined paths. DDPM ignores `steps`
     (full-T ancestral loop) and `eta`; unknown names raise instead of
     silently falling through to DDIM."""
     if sampler == "ddim":
-        return ddim_sample(eps, schedule, key, shape, steps, eta)
+        return ddim_sample(eps, schedule, key, shape, steps, eta,
+                           init_scale=init_scale)
+    if init_scale != 1.0:
+        raise ValueError(
+            "init_scale is a DDIM-only knob (the deterministic-mean readout "
+            f"needs an eta=0 ODE trajectory); got sampler={sampler!r}"
+        )
     if sampler == "edm":
         return edm_sample(eps, schedule, key, shape, steps)
     if sampler == "ddpm":
@@ -179,12 +186,18 @@ def _calibration_sample(model, src_params, sample_params, z_in, key, steps, eta)
     return z0
 
 
-def _sample_stage(model, params, z_in, key, sampler, num_inference_steps, eta, quant):
+def _sample_stage(model, params, z_in, key, sampler, num_inference_steps, eta, quant,
+                  init_scale: float = 1.0):
     """The sampling stage shared by staged_generate and generate_volume:
     (conditioning latents, key) -> clamped z0, one cached jitted scan per
-    (model, sampler, steps, eta, quant, latent shape)."""
+    (model, sampler, steps, eta, quant, init_scale, latent shape)."""
     sample_params, apply_unet = _sample_params_and_apply(model, params, quant)
     if quant == "int8_static" and apply_unet is None:
+        if init_scale != 1.0:
+            raise ValueError(
+                "int8_static calibration runs a standard (init_scale=1) DDIM "
+                "trajectory; calibrate first with init_scale=1, then rerun"
+            )
         if sampler != "ddim":
             raise ValueError(
                 "quant='int8_static' needs calibrated activation scales; the "
@@ -206,12 +219,14 @@ def _sample_stage(model, params, z_in, key, sampler, num_inference_steps, eta, q
         # (residual-mode conditioning carries f^2*C channels instead)
         shape = (*z_c.shape[:-1], model.latent_dim)
         return _route_sampler(
-            sampler, eps, model.schedule, k, shape, num_inference_steps, eta
+            sampler, eps, model.schedule, k, shape, num_inference_steps, eta,
+            init_scale,
         )
 
     sample = _cached(
         sampler,
-        (id(model), num_inference_steps, eta, quant) + tuple(z_in.shape),
+        (id(model), num_inference_steps, eta, quant, init_scale)
+        + tuple(z_in.shape),
         lambda: jax.jit(_sample),
     )
     z0 = sample(sample_params, z_in, key)
@@ -329,6 +344,7 @@ def staged_generate(
     sampler: str = "ddim",
     quant: Optional[str] = None,
     quant_vae: Optional[str] = None,
+    init_scale: float = 1.0,
 ) -> jnp.ndarray:
     """generate() semantics through three independently compiled stages.
 
@@ -364,7 +380,8 @@ def staged_generate(
             z_in = resize_trilinear(z_in, (target_depth, z_in.shape[2], z_in.shape[3]))
 
     z0 = _sample_stage(
-        model, params, z_in, key, sampler, num_inference_steps, eta, quant
+        model, params, z_in, key, sampler, num_inference_steps, eta, quant,
+        init_scale,
     )
 
     dec_params, decode = _decode_params_and_apply(model, params, quant_vae)
@@ -424,6 +441,7 @@ def generate_volume(
     quant_vae: Optional[str] = None,
     stage_times: Optional[dict] = None,
     depth_bucket: Optional[int] = None,
+    init_scale: float = 1.0,
 ) -> jnp.ndarray:
     """Full thick->thin volume generation, pipelined.
 
@@ -525,7 +543,8 @@ def generate_volume(
 
     # ---- batched DDIM (or EDM Heun) scan over the whole grid ----
     z0 = _sample_stage(
-        model, params, z_in, key, sampler, num_inference_steps, eta, quant
+        model, params, z_in, key, sampler, num_inference_steps, eta, quant,
+        init_scale,
     )
     t0 = _mark("sample", z0, t0)
 

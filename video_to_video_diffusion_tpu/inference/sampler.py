@@ -45,12 +45,20 @@ def ddim_sample(
     shape: Sequence[int],
     num_inference_steps: int = 20,
     eta: float = 0.0,
+    init_scale: float = 1.0,
 ) -> jnp.ndarray:
     """DDIM sampling loop (reference sampler.py:242-336) as one lax.scan.
 
     Deterministic for eta=0 under a fixed key. Keeps the reference's
     numerical-stability choices: eps-stabilized square roots, z0 clamp to
     [-10, 10] (custom-VAE latents are not unit range), nan_to_num scrubbing.
+
+    init_scale scales the starting noise z_T: 1.0 is standard sampling;
+    0.0 starts the (eta=0, deterministic) trajectory at the prior MEAN —
+    with an MSE-trained denoiser this reads out an approximation of the
+    conditional mean in ONE trajectory instead of averaging K sampled
+    trajectories (PSNR is minimized by the conditional mean, not by a
+    posterior sample; see evaluate_full_volumes --avg-samples/--init-scale).
     """
     ts = ddim_timesteps(schedule.timesteps, num_inference_steps)
     alphas = np.asarray(schedule.alphas_cumprod)[ts]
@@ -61,7 +69,7 @@ def ddim_sample(
     ap_arr = jnp.asarray(alphas_prev, jnp.float32)
 
     k_init, k_loop = jax.random.split(key)
-    z_init = jax.random.normal(k_init, tuple(shape), jnp.float32)
+    z_init = init_scale * jax.random.normal(k_init, tuple(shape), jnp.float32)
     B = shape[0]
 
     def step(z, inp):
