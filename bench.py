@@ -19,6 +19,12 @@ steady vs 750 s reference (~13.5x, after the lane-aligned attention layout).
 Env knobs:
   BENCH_STEPS   DDIM steps (default 50)
   BENCH_DC      encode/decode chunk size (default 5)
+  BENCH_DC_ENC  encode-stage chunk size override (0/unset = BENCH_DC).
+                The encoder's thick-depth activations are 6x smaller than
+                the decoder's, so it tolerates the whole grid in one
+                dispatch (25) — fewer round-trips through the relay tunnel,
+                whose per-dispatch latency dominates the measured encode
+                stage.
   BENCH_SMALL   1 = tiny proxy config for quick CPU smoke runs
   BENCH_QUANT   sampling-scan precision. Default 'int8' (w8a8 UNet,
                 ops/quant.py) — measured quality-neutral on the trained
@@ -39,6 +45,11 @@ Env knobs:
                 model (trilinear conditioning + residual decode) — the
                 deployed configuration when the trained checkpoint is a
                 residual model (VERDICT r3 #4).
+  BENCH_PROFILE <dir> = capture a jax.profiler trace of one extra
+                (untimed) run into <dir> for TensorBoard/Perfetto.
+  BENCH_SAMPLER ddim (default) | ddpm | edm. ddpm ignores BENCH_STEPS
+                (full-T ancestral loop) — the reference's third published
+                inference row (~10 min/sample DDPM-1000, README.md:475-480).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -59,16 +70,32 @@ GRID_PATCHES = 25  # 8x512x512 @ patch (8,192,192), stride (4,96,96)
 BASELINE_FULL_VOLUME_S = A100_SECONDS_PER_PATCH_50STEP * GRID_PATCHES  # 750 s
 
 
+def baseline_seconds(sampler: str, steps: int) -> float:
+    """Published A100 per-sample time x the 25-patch grid, matched to the
+    reference's three inference rows (README.md:475-480): DDIM-20 ~15 s,
+    DDIM-50 ~30 s, DDPM-1000 ~10 min. Other DDIM step counts scale linearly
+    from the 50-step row."""
+    if sampler == "ddpm":
+        per_patch = 600.0
+    elif steps == 20:
+        per_patch = 15.0
+    else:
+        per_patch = A100_SECONDS_PER_PATCH_50STEP * steps / 50.0
+    return per_patch * GRID_PATCHES
+
+
 def main() -> None:
     small = os.environ.get("BENCH_SMALL") == "1"
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     vae_batch = int(os.environ.get("BENCH_DC", "5"))
+    encode_batch = int(os.environ.get("BENCH_DC_ENC", "0")) or None
     quant = os.environ.get("BENCH_QUANT", "int8").lower()
     if quant in ("", "none", "bf16", "fp", "off"):
         quant = None
     quant_vae = os.environ.get("BENCH_QUANT_VAE", "").lower()
     if quant_vae in ("", "none", "bf16", "fp", "off"):
         quant_vae = None
+    sampler = os.environ.get("BENCH_SAMPLER", "ddim").lower()
     from video_to_video_diffusion_tpu.utils.platform import (
         configure_platform,
         enable_compilation_cache,
@@ -133,6 +160,8 @@ def main() -> None:
             vae_batch=vae_batch,
             quant=quant,
             quant_vae=quant_vae,
+            sampler=sampler,
+            encode_batch=encode_batch,
         )
         # force full materialization on the host (block_until_ready does not
         # reliably sync through relay-backed TPU backends)
@@ -158,6 +187,17 @@ def main() -> None:
     out = run(jax.random.PRNGKey(2))
     elapsed = time.time() - t0
 
+    # BENCH_PROFILE=<dir>: capture a jax.profiler trace of one EXTRA run
+    # (after the timed run, so tracing overhead never touches the headline).
+    # View in TensorBoard / Perfetto; utils/profiler.py wraps the API.
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        from video_to_video_diffusion_tpu.utils.profiler import trace_context
+
+        with trace_context(profile_dir):
+            run(jax.random.PRNGKey(3))
+        print(f"# profiler trace written to {profile_dir}", file=sys.stderr)
+
     # Per-stage wall times from ONE extra instrumented run (per-stage syncs
     # serialize the dispatch pipeline, so the headline `elapsed` above stays
     # un-instrumented). Used for the per-stage achieved-TFLOP/s breakdown.
@@ -170,7 +210,8 @@ def main() -> None:
             target_patch_size=(pd_thin, patch_hw, patch_hw),
             stride=(max(pd_thick // 2, 1), stride_hw, stride_hw),
             vae_batch=vae_batch, quant=quant, quant_vae=quant_vae,
-            stage_times=stage_times,
+            sampler=sampler, stage_times=stage_times,
+            encode_batch=encode_batch,
         )
     except Exception as e:  # noqa: BLE001 — breakdown is best-effort
         print(f"# stage breakdown unavailable: {e}", file=sys.stderr)
@@ -192,7 +233,7 @@ def main() -> None:
             patch_size=(pd_thick, patch_hw, patch_hw),
             target_patch_size=(pd_thin, patch_hw, patch_hw),
             stride=(max(pd_thick // 2, 1), stride_hw, stride_hw),
-            vae_batch=vae_batch,
+            vae_batch=vae_batch, sampler=sampler,
         )
         tflops = flops["total"] / elapsed / 1e12
         on_tpu = jax.devices()[0].platform == "tpu"
@@ -228,12 +269,16 @@ def main() -> None:
         print(f"# cost analysis unavailable: {e}", file=sys.stderr)
 
     result = {
-        "metric": "48x512x512 volume gen time (50-step DDIM + decode)"
+        "metric": (
+            "48x512x512 volume gen time "
+            + ("(DDPM-1000 + decode)" if sampler == "ddpm"
+               else f"({steps}-step {sampler.upper()} + decode)")
+        )
         if not small
         else "tiny proxy volume gen time",
         "value": round(elapsed, 3),
         "unit": "s",
-        "vs_baseline": round(BASELINE_FULL_VOLUME_S / elapsed, 3)
+        "vs_baseline": round(baseline_seconds(sampler, steps) / elapsed, 3)
         if not small
         else 0.0,
     }
@@ -253,6 +298,9 @@ def main() -> None:
         result["stage_seconds"] = {
             k: round(v, 2) for k, v in stage_times.items()
         }
+    if sampler != "ddim":
+        result["sampler"] = sampler
+    result["steps"] = steps if sampler != "ddpm" else 1000
     if quant:
         result["quant"] = quant
     if quant_vae:

@@ -227,3 +227,40 @@ def test_volume_cache_thread_safe(tmp_path):
         results = list(pool.map(lambda i: ds[i]["input"], idxs))
     for i, got in zip(idxs, results):
         np.testing.assert_array_equal(got, expected[i])
+
+
+def test_synthetic_cache_geometry_mismatch_is_hard_error(tmp_path):
+    """Round-4 stale-cache trap: a config asking one geometry must never
+    silently train on a cache built at another. The cache is self-describing
+    (_synthetic_manifest.json); both manifest and legacy (manifest-less)
+    caches reject mismatched requests."""
+    d = str(tmp_path / "cache")
+    ensure_synthetic_cache(d, 2, thin_depth=10, height=24, width=24, seed=7)
+    # same geometry: idempotent reuse
+    again = ensure_synthetic_cache(d, 2, thin_depth=10, height=24, width=24, seed=7)
+    assert len(again) == 2
+
+    with pytest.raises(ValueError, match="geometry|built at"):
+        ensure_synthetic_cache(d, 2, thin_depth=10, height=48, width=48, seed=7)
+    with pytest.raises(ValueError, match="geometry|built at"):
+        ensure_synthetic_cache(d, 2, thin_depth=20, height=24, width=24, seed=7)
+    with pytest.raises(ValueError, match="geometry|built at"):
+        ensure_synthetic_cache(d, 2, thin_depth=10, height=24, width=24, seed=8)
+
+    # legacy cache (no manifest): first-volume shape still guards geometry
+    os.remove(os.path.join(d, "_synthetic_manifest.json"))
+    with pytest.raises(ValueError, match="geometry|built at"):
+        ensure_synthetic_cache(d, 2, thin_depth=10, height=48, width=48, seed=7)
+    # legacy + matching shape: accepted, manifest re-written
+    ok = ensure_synthetic_cache(d, 2, thin_depth=10, height=24, width=24, seed=7)
+    assert len(ok) == 2
+    assert os.path.exists(os.path.join(d, "_synthetic_manifest.json"))
+
+    # the dataset constructor (the path training actually takes) also raises
+    base = load_config("tiny_test").to_dict()
+    base["data"].update(processed_dir=d, synthetic_num_patients=2,
+                        synthetic_thin_depth=10, synthetic_height=48,
+                        synthetic_width=48, seed=7)
+    cfg = load_config(base)
+    with pytest.raises(ValueError, match="geometry|built at"):
+        SliceInterpolationDataset(cfg, "train")

@@ -170,3 +170,23 @@ def test_pad_depth_to_bucket_edge_replicates(tiny):
     np.testing.assert_array_equal(np.asarray(padded[:, 5:]), np.asarray(jnp.stack([v[:, 4]] * 3, axis=1)))
     same, d2 = pad_depth_to_bucket(v[:, :4], 4)
     assert d2 == 4 and same.shape[1] == 4
+
+
+def test_generate_volume_encode_batch_invariance(tiny):
+    """encode_batch (encode-stage chunk override, incl. a ragged tail chunk)
+    must not change the output vs the shared vae_batch chunking."""
+    model, params = tiny
+    v = jax.random.normal(jax.random.PRNGKey(7), (1, 4, 64, 64, 1))
+    kw = dict(
+        num_inference_steps=2, patch_size=(4, 32, 32),
+        target_patch_size=(8, 32, 32), stride=(2, 16, 16), vae_batch=3,
+    )
+    a = generate_volume(model, params, v, jax.random.PRNGKey(8), **kw)
+    # 9 patches pad to 9 (3|3|3) for decode; encode runs 7 + ragged 2
+    b = generate_volume(model, params, v, jax.random.PRNGKey(8),
+                        encode_batch=7, **kw)
+    # whole grid in one encode dispatch
+    c = generate_volume(model, params, v, jax.random.PRNGKey(8),
+                        encode_batch=64, **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)

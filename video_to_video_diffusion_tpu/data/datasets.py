@@ -164,8 +164,46 @@ def ensure_synthetic_cache(
     width: int = 96,
     seed: int = 0,
 ) -> List[str]:
-    """Build a synthetic-phantom cache in the same npz format."""
+    """Build a synthetic-phantom cache in the same npz format.
+
+    The cache is self-describing: a ``_synthetic_manifest.json`` records the
+    geometry/seed it was built at, and any later request with a different
+    geometry is a hard error instead of silently reusing stale volumes.
+    (Round-4 postmortem, docs/RESULTS.md: a 192^2 config trained for a full
+    round on a cached 96^2 dataset because existing files were skipped on
+    patient id alone.) Legacy caches without a manifest are validated against
+    the first volume's stored shape.
+    """
     os.makedirs(processed_dir, exist_ok=True)
+    want = {
+        "thin_depth": int(thin_depth),
+        "height": int(height),
+        "width": int(width),
+        "seed": int(seed),
+    }
+    manifest_path = os.path.join(processed_dir, "_synthetic_manifest.json")
+    existing = [
+        f for f in os.listdir(processed_dir)
+        if f.startswith("SYN__") and f.endswith(".npz")
+    ]
+    if existing:
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                have = {k: int(v) for k, v in json.load(f).items() if k in want}
+        else:
+            with np.load(os.path.join(processed_dir, sorted(existing)[0])) as z:
+                shp = z["target"].shape
+            have = {**want, "thin_depth": shp[0], "height": shp[1], "width": shp[2]}
+        if have != want:
+            raise ValueError(
+                f"synthetic cache {processed_dir!r} was built at {have}, but "
+                f"this config asks for {want}. Point data.processed_dir at a "
+                "fresh directory (or delete the stale cache) — silently "
+                "training on mismatched geometry is the round-4 trap."
+            )
+    if not os.path.exists(manifest_path):
+        with open(manifest_path, "w") as f:
+            json.dump(want, f)
     paths = []
     for i in range(num_patients):
         out = os.path.join(processed_dir, f"SYN__{i:04d}.npz")

@@ -95,6 +95,26 @@ def main(argv=None) -> Dict[str, float]:
         "decay keeps decay^t of the random init, so an early checkpoint's "
         "average scores the init, not the model).",
     )
+    parser.add_argument(
+        "--init-params",
+        type=str,
+        default=None,
+        metavar="CKPT",
+        help="initialize model weights (vae+unet) from a diffusion "
+        "checkpoint WITHOUT restoring optimizer/epoch state — fine-tuning "
+        "at a new data geometry (the conv/depth-attention stack is "
+        "spatial-size-agnostic). Prefers the checkpoint's winning weight "
+        "side (ema when meta.best_weights says so). --resume takes "
+        "precedence when both are given.",
+    )
+    parser.add_argument(
+        "--profile",
+        type=str,
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler trace of a few steady-state training "
+        "steps (first epoch, after compile) into DIR",
+    )
     args = parser.parse_args(argv)
     logger = setup_logger("train")
 
@@ -130,6 +150,16 @@ def main(argv=None) -> Dict[str, float]:
     params = model.init(
         key, patch_shape=(cfg.data.patch_depth_thick, *cfg.data.patch_size), batch=1
     )
+    if args.init_params:
+        restored, meta = load_checkpoint(args.init_params)
+        side = (
+            "ema_params"
+            if restored.get("ema_params") is not None
+            and meta.get("best_weights", "ema") == "ema"
+            else "params"
+        )
+        params = restored[side]
+        logger.info("initialized weights from %s (%s side)", args.init_params, side)
     if cfg.pretrained.use_pretrained and cfg.pretrained.vae_enabled and cfg.pretrained.vae_checkpoint_path:
         params = load_vae_into_params(params, cfg.pretrained.vae_checkpoint_path)
         logger.info("loaded VAE from %s", cfg.pretrained.vae_checkpoint_path)
@@ -140,6 +170,8 @@ def main(argv=None) -> Dict[str, float]:
         model, cfg, train_loader, val_loader, full_val_loader,
         mesh=mesh, params=params, rng_seed=cfg.data.seed,
     )
+    if args.profile:
+        trainer.profile_dir = args.profile
     resume = args.resume or find_best_checkpoint(trainer.ckpt_dir, trainer.suffix)
     if resume:
         trainer.load_checkpoint(resume)

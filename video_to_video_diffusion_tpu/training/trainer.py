@@ -44,6 +44,12 @@ from video_to_video_diffusion_tpu.data.windowing import from_model_range
 
 
 class Trainer:
+    # jax.profiler trace destination (train.py --profile <dir>): when set,
+    # train_epoch captures steps 1..PROFILE_STEPS of the next epoch it runs
+    # (step 0 is compile) into profile_dir, once, then clears itself.
+    profile_dir: Optional[str] = None
+    PROFILE_STEPS = 6
+
     def __init__(
         self,
         model: VideoToVideoDiffusion,
@@ -210,11 +216,21 @@ class Trainer:
         log_pending = []  # (step, device loss, device grad_norm)
         data_time = step_time = 0.0
         t_last = time.time()
+        tracing = False
         for i, batch in enumerate(self.train_loader):
+            if self.profile_dir and i == 1:
+                # step 0 is the compile; trace a handful of steady steps
+                jax.profiler.start_trace(self.profile_dir)
+                tracing = True
             dev_batch = self._put(batch)
             data_time += time.time() - t_last
             t0 = time.time()
             self.state, metrics = self._train_step(self.state, dev_batch, self._next_key())
+            if tracing and i >= self.PROFILE_STEPS:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                self.logger.info("profiler trace written to %s", self.profile_dir)
+                self.profile_dir, tracing = None, False
             # keep the loss as a device scalar — float()-ing it here would
             # block dispatch of the next step on every micro-step
             losses.append(metrics["loss"])
@@ -228,6 +244,9 @@ class Trainer:
                     (self.global_step, metrics["loss"], metrics["grad_norm"])
                 )
             t_last = time.time()
+        if tracing:  # epoch shorter than PROFILE_STEPS
+            jax.profiler.stop_trace()
+            self.profile_dir = None
         # ONE batched readback: float()-ing the per-step scalars one by one
         # costs a full relay round-trip EACH over a tunneled TPU backend —
         # measured ~450 s for an 876-step epoch (vs ~170 s of everything
