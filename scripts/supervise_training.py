@@ -29,12 +29,18 @@ def main(argv=None) -> int:
     ap.add_argument("--max-restarts", type=int, default=10)
     ap.add_argument("--min-uptime", type=float, default=60.0,
                     help="crashes faster than this count double against the budget")
+    ap.add_argument("extra", nargs=argparse.REMAINDER,
+                    help="extra args forwarded to the training CLI after "
+                    "'--' (e.g. -- --init-params artifacts/diff_res4_best). "
+                    "Safe across restarts: the CLIs' auto-resume takes "
+                    "precedence over --init-params once a checkpoint exists")
     args = ap.parse_args(argv)
 
     mod = args.module
     if not mod.startswith("video_to_video_diffusion_tpu."):
         mod = "video_to_video_diffusion_tpu." + mod
-    cmd = [sys.executable, "-m", mod, "--config", args.config]
+    extra = args.extra[1:] if args.extra[:1] == ["--"] else args.extra
+    cmd = [sys.executable, "-m", mod, "--config", args.config, *extra]
 
     restarts = 0
     budget = args.max_restarts
