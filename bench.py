@@ -25,6 +25,8 @@ Env knobs:
                 dispatch (25) — fewer round-trips through the relay tunnel,
                 whose per-dispatch latency dominates the measured encode
                 stage.
+  BENCH_DC_SAMPLE  sampling-stage chunk size (0/unset = whole grid in one
+                scan). For grids larger than HBM allows (512^2 series).
   BENCH_SMALL   1 = tiny proxy config for quick CPU smoke runs
   BENCH_QUANT   sampling-scan precision. Default 'int8' (w8a8 UNet,
                 ops/quant.py) — measured quality-neutral on the trained
@@ -89,6 +91,7 @@ def main() -> None:
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     vae_batch = int(os.environ.get("BENCH_DC", "5"))
     encode_batch = int(os.environ.get("BENCH_DC_ENC", "0")) or None
+    sample_batch = int(os.environ.get("BENCH_DC_SAMPLE", "0")) or None
     quant = os.environ.get("BENCH_QUANT", "int8").lower()
     if quant in ("", "none", "bf16", "fp", "off"):
         quant = None
@@ -162,6 +165,7 @@ def main() -> None:
             quant_vae=quant_vae,
             sampler=sampler,
             encode_batch=encode_batch,
+            sample_batch=sample_batch,
         )
         # force full materialization on the host (block_until_ready does not
         # reliably sync through relay-backed TPU backends)
@@ -211,7 +215,7 @@ def main() -> None:
             stride=(max(pd_thick // 2, 1), stride_hw, stride_hw),
             vae_batch=vae_batch, quant=quant, quant_vae=quant_vae,
             sampler=sampler, stage_times=stage_times,
-            encode_batch=encode_batch,
+            encode_batch=encode_batch, sample_batch=sample_batch,
         )
     except Exception as e:  # noqa: BLE001 — breakdown is best-effort
         print(f"# stage breakdown unavailable: {e}", file=sys.stderr)

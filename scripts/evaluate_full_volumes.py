@@ -54,6 +54,11 @@ def main(argv=None):
     ap.add_argument("--quant", default=None, choices=["int8", "int8_static"])
     ap.add_argument("--quant-vae", default=None, choices=["int8"])
     ap.add_argument("--vae-batch", type=int, default=5)
+    ap.add_argument("--sample-batch", type=int, default=0,
+                    help="chunk the DDIM scan over patch groups of this "
+                         "size (0 = whole grid in one scan). Use on large "
+                         "grids (512^2 series = 50+ patches) where the "
+                         "batched scan's activation peak exceeds HBM")
     ap.add_argument("--depth-bucket", type=int, default=0,
                     help="pad thick depth to a multiple of this before "
                          "stitching (compile reuse across variable-depth "
@@ -167,6 +172,7 @@ def main(argv=None):
                 quant=args.quant, quant_vae=args.quant_vae,
                 depth_bucket=args.depth_bucket or None,
                 init_scale=args.init_scale,
+                sample_batch=args.sample_batch or None,
             )
             o = np.asarray(out, np.float32)[0, :D_thin]
             acc = o if acc is None else acc + o

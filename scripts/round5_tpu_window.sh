@@ -25,11 +25,37 @@ timeout 3600 python scripts/evaluate_full_volumes.py \
     --split val --num-samples 4 --steps 50 \
     --residual-scale-sweep --oracle --output runs/fve5_512_zeroshot
 
+echo "[win] B2. conditional-mean readout: DDIM-50, init-scale 0, single pass"
+timeout 3600 python scripts/evaluate_full_volumes.py \
+    --config config/runs/diff_res4.yaml --checkpoint $CKPT \
+    --split val --num-samples 8 --steps 50 --init-scale 0 \
+    --residual-scale-sweep --output runs/fve5_val_s50_mean
+
+echo "[win] B3. DDIM-1 diagnostic (one-step x0 anchor quality)"
+timeout 3600 python scripts/evaluate_full_volumes.py \
+    --config config/runs/diff_res4.yaml --checkpoint $CKPT \
+    --split val --num-samples 8 --steps 1 \
+    --residual-scale-sweep --output runs/fve5_val_s1
+
 echo "[win] C0. int8s + int8-VAE quality eval on the trained checkpoint (96^2)"
 timeout 3600 python scripts/evaluate_full_volumes.py \
     --config config/runs/diff_res4.yaml --checkpoint $CKPT \
     --split val --num-samples 8 --steps 50 \
     --quant int8_static --quant-vae int8 --output runs/fve5_val_s50_int8s_vae
+
+echo "[win] B4. test split at the calibrated production recipe (DDIM-5 avg-4, lambda* from val)"
+LSTAR=$(python3 -c "import json; print(json.load(open('runs/fve5_val_s5_avg4.json'))['summary'].get('best_scale', 1.0))" 2>/dev/null || echo 1.0)
+echo "[win] lambda* (val, avg-4) = $LSTAR"
+timeout 3600 python scripts/evaluate_full_volumes.py \
+    --config config/runs/diff_res4.yaml --checkpoint $CKPT \
+    --split test --num-samples 8 --steps 5 --avg-samples 4 \
+    --residual-scale "$LSTAR" --oracle --output runs/fve5_test_s5_avg4
+
+echo "[win] B5. test split at the mean-readout recipe (DDIM-50 init-scale 0, lambda=1)"
+timeout 3600 python scripts/evaluate_full_volumes.py \
+    --config config/runs/diff_res4.yaml --checkpoint $CKPT \
+    --split test --num-samples 8 --steps 50 --init-scale 0 \
+    --output runs/fve5_test_s50_mean
 
 echo "[win] C1. bench: current default + encode-batch fix"
 BENCH_DC_ENC=25 timeout 2400 python bench.py 2>runs/bench_c1.err | tee runs/bench_c1.json

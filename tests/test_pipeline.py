@@ -190,3 +190,22 @@ def test_generate_volume_encode_batch_invariance(tiny):
                         encode_batch=64, **kw)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
     np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
+
+
+def test_generate_volume_sample_batch_shape_and_finite(tiny):
+    """sample_batch chunks the DDIM scan over patch groups (HBM bound on
+    large grids); output shape/finiteness must hold and the chunked run
+    must equal itself deterministically."""
+    model, params = tiny
+    v = jax.random.normal(jax.random.PRNGKey(9), (1, 4, 64, 64, 1))
+    kw = dict(
+        num_inference_steps=2, patch_size=(4, 32, 32),
+        target_patch_size=(8, 32, 32), stride=(2, 16, 16), vae_batch=3,
+    )
+    a = generate_volume(model, params, v, jax.random.PRNGKey(10),
+                        sample_batch=4, **kw)
+    assert a.shape == (1, 8, 64, 64, 1)
+    assert np.isfinite(np.asarray(a)).all()
+    b = generate_volume(model, params, v, jax.random.PRNGKey(10),
+                        sample_batch=4, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -443,6 +443,7 @@ def generate_volume(
     depth_bucket: Optional[int] = None,
     init_scale: float = 1.0,
     encode_batch: Optional[int] = None,
+    sample_batch: Optional[int] = None,
 ) -> jnp.ndarray:
     """Full thick->thin volume generation, pipelined.
 
@@ -455,6 +456,11 @@ def generate_volume(
         round-trips through a relay-backed TPU tunnel, where per-call
         latency, not compute, dominates the measured encode stage
         (BENCH_r04: 11.4 s for 90 TFLOP ~ 4% MFU).
+      sample_batch: sampling-stage chunk size (default: the whole patch
+        grid in one scan — maximal MXU batch). Large grids (a 512^2 CT
+        series is 50+ patches) can exceed HBM at the batched scan's
+        activation peak; chunking trades a little batch efficiency for a
+        bounded footprint. Each chunk folds its index into the PRNG key.
       quant: None (trained precision), 'int8' (w8a8 UNet scan, dynamic
         per-call activation scales; ops/quant.py), or 'int8_static' (w8a8
         with calibrated per-site activation scales — the first ddim call
@@ -548,10 +554,23 @@ def generate_volume(
     t0 = _mark("encode", z_in, t0)
 
     # ---- batched DDIM (or EDM Heun) scan over the whole grid ----
-    z0 = _sample_stage(
-        model, params, z_in, key, sampler, num_inference_steps, eta, quant,
-        init_scale,
-    )
+    sb = sample_batch or Np
+    if sb >= Np:
+        z0 = _sample_stage(
+            model, params, z_in, key, sampler, num_inference_steps, eta, quant,
+            init_scale,
+        )
+    else:
+        z0 = jnp.concatenate(
+            [
+                _sample_stage(
+                    model, params, z_in[i : i + sb], jax.random.fold_in(key, i),
+                    sampler, num_inference_steps, eta, quant, init_scale,
+                )
+                for i in range(0, Np, sb)
+            ],
+            axis=0,
+        )
     t0 = _mark("sample", z0, t0)
 
     # ---- decode (chunked) ----
