@@ -19,7 +19,8 @@ steady vs 750 s reference (~13.5x, after the lane-aligned attention layout).
 Env knobs:
   BENCH_STEPS   DDIM steps (default 50)
   BENCH_DC      encode/decode chunk size (default 5)
-  BENCH_DC_ENC  encode-stage chunk size override (0/unset = BENCH_DC).
+  BENCH_DC_ENC  encode-stage chunk size override (default 25 = the whole
+                production grid in one dispatch; 0 = BENCH_DC).
                 The encoder's thick-depth activations are 6x smaller than
                 the decoder's, so it tolerates the whole grid in one
                 dispatch (25) — fewer round-trips through the relay tunnel,
@@ -28,18 +29,22 @@ Env knobs:
   BENCH_DC_SAMPLE  sampling-stage chunk size (0/unset = whole grid in one
                 scan). For grids larger than HBM allows (512^2 series).
   BENCH_SMALL   1 = tiny proxy config for quick CPU smoke runs
-  BENCH_QUANT   sampling-scan precision. Default 'int8' (w8a8 UNet,
-                ops/quant.py) — measured quality-neutral on the trained
-                checkpoint (paired DDIM-50 eval: 12.997 dB vs bf16's
-                12.972 dB, docs/RESULTS.md) and 43.1 s vs bf16's 55.7 s.
-                'int8_static' = w8a8 with calibrated activation scales
-                (the warmup run calibrates; no per-conv abs-max HBM
-                passes in the timed run). 'bf16'/'none' = the
-                trained-precision path. The JSON line records which path
-                ran in its "quant" field.
-  BENCH_QUANT_VAE  decode-stage precision: 'int8' runs the final VAE
-                decode on the w8a8 decoder (models/vae.py quant_int8);
-                default off (trained precision).
+  BENCH_QUANT   sampling-scan precision. Default 'int8_static' (w8a8 UNet
+                with calibrated per-site activation scales — the warmup
+                run calibrates, the timed run skips the per-conv abs-max
+                HBM passes; ops/quant.py). 'int8' = dynamic activation
+                scales. 'bf16'/'none' = the trained-precision path. The
+                JSON line records which ran in its "quant" field.
+                Quality, measured on the trained diff_res4 checkpoint
+                (paired full-volume DDIM-50, lambda=1, docs/RESULTS.md
+                round 5): bf16 31.927 dB, int8 31.888 (-0.04),
+                int8_static 31.852 (-0.075), int8_static+int8-VAE 31.822
+                (-0.105) — ~0.1 dB for the full int8 path, far inside the
+                recipe-to-recipe spread; speed 55.7 s (bf16) -> 43.1
+                (int8) -> 40.1 (int8_static + int8 VAE + encode batch).
+  BENCH_QUANT_VAE  decode-stage precision. Default 'int8' (w8a8 decoder,
+                models/vae.py quant_int8; quality delta above);
+                'none'/'bf16' = trained precision.
   BENCH_QUANT_ATTN 1 = run the attention matmuls (q@k^T, attn@v) on the
                 int8 MXU path too (model.quant_attention_matmuls; only
                 meaningful with BENCH_QUANT int8/int8_static).
@@ -90,12 +95,12 @@ def main() -> None:
     small = os.environ.get("BENCH_SMALL") == "1"
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     vae_batch = int(os.environ.get("BENCH_DC", "5"))
-    encode_batch = int(os.environ.get("BENCH_DC_ENC", "0")) or None
+    encode_batch = int(os.environ.get("BENCH_DC_ENC", "25")) or None
     sample_batch = int(os.environ.get("BENCH_DC_SAMPLE", "0")) or None
-    quant = os.environ.get("BENCH_QUANT", "int8").lower()
+    quant = os.environ.get("BENCH_QUANT", "int8_static").lower()
     if quant in ("", "none", "bf16", "fp", "off"):
         quant = None
-    quant_vae = os.environ.get("BENCH_QUANT_VAE", "").lower()
+    quant_vae = os.environ.get("BENCH_QUANT_VAE", "int8").lower()
     if quant_vae in ("", "none", "bf16", "fp", "off"):
         quant_vae = None
     sampler = os.environ.get("BENCH_SAMPLER", "ddim").lower()
