@@ -154,6 +154,32 @@ def main(argv=None):
     ap.add_argument("--sampler", default="ddim", choices=["ddim", "ddpm", "edm"])
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--eta", type=float, default=0.0)
+    ap.add_argument("--mode", default="sample", choices=["sample", "fidelity"],
+                    help="'sample' draws a posterior sample (realistic noise "
+                         "texture); 'fidelity' runs the deterministic "
+                         "conditional-mean DDIM trajectory (init_scale 0) — "
+                         "the PSNR/SSIM-optimal readout (docs/RESULTS.md "
+                         "round 5: beats the trilinear floor at lambda=1 on "
+                         "both held-out splits)")
+    ap.add_argument("--init-scale", type=float, default=None,
+                    help="override the z_T scale directly (default: 1.0 for "
+                         "--mode sample, 0.0 for --mode fidelity)")
+    ap.add_argument("--avg-samples", type=int, default=1,
+                    help="average K independent generations (posterior-mean "
+                         "approximation; only meaningful with --mode sample)")
+    ap.add_argument("--residual-scale", type=float, default=1.0,
+                    help="residual-mode shrinkage: emit tri + s*(gen - tri). "
+                         "Calibrate s on a validation split "
+                         "(scripts/evaluate_full_volumes.py "
+                         "--residual-scale-sweep)")
+    ap.add_argument("--sample-batch", type=int, default=0,
+                    help="chunk the DDIM scan over patch groups (0 = whole "
+                         "grid; use on 512^2-class series where the batched "
+                         "scan exceeds HBM)")
+    ap.add_argument("--encode-batch", type=int, default=0,
+                    help="encode-stage chunk size (0 = --vae-batch; set "
+                         "large, e.g. the grid size, to cut dispatch "
+                         "round-trips — the bench default)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--quant", default=None, choices=["int8", "int8_static"])
     ap.add_argument("--quant-vae", default=None, choices=["int8"])
@@ -256,6 +282,16 @@ def main(argv=None):
                 "--mesh requested but only 1 device visible; single-chip path"
             )
 
+    init_scale = args.init_scale
+    if init_scale is None:
+        init_scale = 0.0 if args.mode == "fidelity" else 1.0
+    if args.mode == "fidelity" and args.avg_samples > 1:
+        logger.warning(
+            "--mode fidelity is deterministic; --avg-samples %d is a no-op "
+            "cost multiplier, forcing 1", args.avg_samples
+        )
+        args.avg_samples = 1
+
     def _generate(v_in: np.ndarray, key) -> tuple[np.ndarray, float]:
         t0 = time.time()
         if args.source_ratio and args.source_ratio != args.ratio:
@@ -278,32 +314,54 @@ def main(argv=None):
             d_orig = v_dev.shape[1]
             if args.depth_bucket:
                 v_dev, d_orig = pad_depth_to_bucket(v_dev, args.depth_bucket)
-            out = sample_with_stitching_sharded(
-                model, params, mesh, v_dev, key,
-                num_inference_steps=args.steps,
-                patch_size=tuple(args.patch),
-                target_patch_size=tuple(args.target_patch),
-                stride=tuple(args.stride),
-                sampler=args.sampler, eta=args.eta,
-                quant=args.quant, quant_vae=args.quant_vae,
-            )
-            out = out[:, : d_orig * args.ratio]
+            acc = None
+            for k in range(max(args.avg_samples, 1)):
+                out = sample_with_stitching_sharded(
+                    model, params, mesh, v_dev, jax.random.fold_in(key, k),
+                    num_inference_steps=args.steps,
+                    patch_size=tuple(args.patch),
+                    target_patch_size=tuple(args.target_patch),
+                    stride=tuple(args.stride),
+                    sampler=args.sampler, eta=args.eta,
+                    quant=args.quant, quant_vae=args.quant_vae,
+                    init_scale=init_scale,
+                )
+                acc = out if acc is None else acc + out
+            out = (acc / max(args.avg_samples, 1))[:, : d_orig * args.ratio]
         else:
             from video_to_video_diffusion_tpu.inference.pipeline import (
                 generate_volume,
             )
 
-            out = generate_volume(
-                model, params, jnp.asarray(v_in), key,
-                num_inference_steps=args.steps,
-                patch_size=tuple(args.patch),
-                target_patch_size=tuple(args.target_patch),
-                stride=tuple(args.stride),
-                vae_batch=args.vae_batch,
-                eta=args.eta, sampler=args.sampler,
-                quant=args.quant, quant_vae=args.quant_vae,
-                depth_bucket=args.depth_bucket,
+            acc = None
+            for k in range(max(args.avg_samples, 1)):
+                out = generate_volume(
+                    model, params, jnp.asarray(v_in), jax.random.fold_in(key, k),
+                    num_inference_steps=args.steps,
+                    patch_size=tuple(args.patch),
+                    target_patch_size=tuple(args.target_patch),
+                    stride=tuple(args.stride),
+                    vae_batch=args.vae_batch,
+                    eta=args.eta, sampler=args.sampler,
+                    quant=args.quant, quant_vae=args.quant_vae,
+                    depth_bucket=args.depth_bucket,
+                    init_scale=init_scale,
+                    sample_batch=args.sample_batch or None,
+                    encode_batch=args.encode_batch or None,
+                )
+                acc = out if acc is None else acc + out
+            out = acc / max(args.avg_samples, 1)
+        if getattr(model, "residual_mode", False) and args.residual_scale != 1.0:
+            # generation is affine in the decoded residual, so calibrated
+            # shrinkage is exact post-hoc: tri + s*(gen - tri)
+            from video_to_video_diffusion_tpu.ops.resize import resize_trilinear
+
+            tri = resize_trilinear(
+                jnp.asarray(v_in, jnp.float32),
+                (out.shape[1], out.shape[2], out.shape[3]),
             )
+            s = args.residual_scale
+            out = jnp.clip(tri + s * (out - tri), -1.0, 1.0)
         out_np = np.asarray(out, np.float32)  # host readback = sync
         return out_np, time.time() - t0
 

@@ -39,6 +39,7 @@ def sharded_patch_generator(
     quant_vae: Optional[str] = None,
     sampler: str = "ddim",
     eta: float = 0.0,
+    init_scale: float = 1.0,
 ):
     """A generate-batch fn whose patch axis is sharded over 'data'.
 
@@ -64,6 +65,7 @@ def sharded_patch_generator(
             sampler=sampler,
             quant=quant,
             quant_vae=quant_vae,
+            init_scale=init_scale,
         )
 
     return wrapped
@@ -84,6 +86,7 @@ def sample_with_stitching_sharded(
     quant_vae: Optional[str] = None,
     sampler: str = "ddim",
     eta: float = 0.0,
+    init_scale: float = 1.0,
 ) -> jnp.ndarray:
     """Full-volume stitching with the patch grid fanned out over the mesh."""
     n_data = mesh.shape[DATA_AXIS]
@@ -93,7 +96,7 @@ def sample_with_stitching_sharded(
     ratio = target_patch_size[0] // patch_size[0]
     gen = sharded_patch_generator(
         model, params, mesh, num_inference_steps, ratio, quant=quant,
-        quant_vae=quant_vae, sampler=sampler, eta=eta,
+        quant_vae=quant_vae, sampler=sampler, eta=eta, init_scale=init_scale,
     )
     return sample_with_stitching(
         gen,
